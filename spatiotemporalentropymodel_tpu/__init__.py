@@ -1,0 +1,53 @@
+"""TPU-native learned video compression framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capability surface of
+mmSir/SpatioTemporalEntropyModel (a CompressAI fork with STEM video models):
+
+- ``ops``     : lower_bound, non-negative parametrization, quantizers
+- ``layers``  : GDN/IGDN, masked conv, residual/attention blocks, SFT
+- ``entropy`` : EntropyBottleneck / GaussianConditional (vectorized, jittable)
+- ``coders``  : native C++ rANS (single-stream reference format + interleaved
+                multi-lane fast path) with a NumPy reference fallback
+- ``models``  : image codecs (factorized/hyperprior/joint-AR/Cheng2020) and the
+                STEM P-frame entropy-model family + ROI/variable-rate models
+- ``zoo``     : model registry, quality configs, torch checkpoint converter
+- ``data``    : Vimeo90k septuplets, Qmap synthesis, GOP readers
+- ``parallel``: mesh/data-parallel training utilities (pjit/shard_map)
+- ``training``: losses, optimizer split, train loops, checkpointing
+- ``eval``    : metrics (PSNR/MS-SSIM), GOP evaluator, codec CLI, bench tools
+
+Reference behavior citations in docstrings point into the PyTorch reference
+(`compressai/...` paths) for parity checking; the implementation here is an
+independent TPU-first design (NHWC layouts, pure functions, static shapes).
+"""
+
+__version__ = "0.1.0"
+
+_entropy_coder = "rans"
+_available_coders = ["rans", "rans_interleaved", "numpy"]
+
+
+def available_entropy_coders():
+    """Names of usable entropy-coder backends.
+
+    Mirrors ``compressai.available_entropy_coders`` (compressai/__init__.py:22-62)
+    but the backends are: the native C++ rANS ("rans", bitstream-compatible with
+    the reference's ``compressai.ans``), the interleaved multi-lane variant
+    ("rans_interleaved"), and a pure NumPy reference coder ("numpy").
+    """
+    return list(_available_coders)
+
+
+def set_entropy_coder(name: str) -> None:
+    """Set the default entropy coder backend by name."""
+    global _entropy_coder
+    if name not in _available_coders:
+        raise ValueError(
+            f'Invalid entropy coder "{name}", choose from {_available_coders}'
+        )
+    _entropy_coder = name
+
+
+def get_entropy_coder() -> str:
+    """Return the current default entropy coder name."""
+    return _entropy_coder

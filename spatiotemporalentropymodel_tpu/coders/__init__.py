@@ -1,0 +1,126 @@
+"""Entropy-coder backends.
+
+``get_coder(name)`` returns an object with the uniform array API:
+
+  encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets) -> bytes
+  decode_with_indexes(data, indexes, cdfs, cdf_lengths, offsets) -> int32[n]
+  make_stream_decoder(data) -> StreamDecoder (for autoregressive decode)
+
+Backends:
+  "rans"             — native C++ single-stream; bitstream-compatible with the
+                       reference's ``compressai.ans`` module.
+  "rans_interleaved" — native C++ multi-lane container (parallel decode);
+                       NOT reference-bitstream-compatible (own container).
+  "numpy"            — pure-Python executable spec (slow; tests/fallback).
+"""
+
+import numpy as np
+
+from . import _numpy_rans
+
+
+class NumpyCoder:
+    name = "numpy"
+
+    def encode_with_indexes(self, symbols, indexes, cdfs, cdf_lengths, offsets):
+        cdfs = np.asarray(cdfs, dtype=np.int32)
+        return _numpy_rans.encode_with_indexes(
+            np.asarray(symbols, dtype=np.int32).reshape(-1),
+            np.asarray(indexes, dtype=np.int32).reshape(-1),
+            cdfs,
+            np.asarray(cdf_lengths, dtype=np.int32),
+            np.asarray(offsets, dtype=np.int32),
+        )
+
+    def decode_with_indexes(self, data, indexes, cdfs, cdf_lengths, offsets):
+        cdfs = np.asarray(cdfs, dtype=np.int32)
+        return _numpy_rans.decode_with_indexes(
+            data,
+            np.asarray(indexes, dtype=np.int32).reshape(-1),
+            cdfs,
+            np.asarray(cdf_lengths, dtype=np.int32),
+            np.asarray(offsets, dtype=np.int32),
+        )
+
+    def make_stream_decoder(self, data):
+        return _NumpyStream(data)
+
+
+class _NumpyStream:
+    def __init__(self, data):
+        self._dec = _numpy_rans.StreamDecoder(data)
+
+    def decode(self, indexes, cdfs, cdf_lengths, offsets):
+        return self._dec.decode(
+            np.asarray(indexes, dtype=np.int32).reshape(-1),
+            np.asarray(cdfs, dtype=np.int32),
+            np.asarray(cdf_lengths, dtype=np.int32),
+            np.asarray(offsets, dtype=np.int32),
+        )
+
+
+class NativeCoder:
+    name = "rans"
+
+    def __init__(self):
+        from . import rans as _rans
+
+        self._rans = _rans
+
+    def encode_with_indexes(self, symbols, indexes, cdfs, cdf_lengths, offsets):
+        return self._rans.encode_with_indexes(
+            symbols, indexes, cdfs, cdf_lengths, offsets
+        )
+
+    def decode_with_indexes(self, data, indexes, cdfs, cdf_lengths, offsets):
+        return self._rans.decode_with_indexes(
+            data, indexes, cdfs, cdf_lengths, offsets
+        )
+
+    def make_stream_decoder(self, data):
+        return self._rans.StreamDecoder(data)
+
+
+class InterleavedCoder(NativeCoder):
+    name = "rans_interleaved"
+
+    def __init__(self, n_lanes: int = 8):
+        super().__init__()
+        self.n_lanes = int(n_lanes)
+
+    def encode_with_indexes(self, symbols, indexes, cdfs, cdf_lengths, offsets):
+        return self._rans.encode_interleaved(
+            symbols, indexes, cdfs, cdf_lengths, offsets, self.n_lanes
+        )
+
+    def decode_with_indexes(self, data, indexes, cdfs, cdf_lengths, offsets):
+        return self._rans.decode_interleaved(
+            data, indexes, cdfs, cdf_lengths, offsets
+        )
+
+
+_cache = {}
+
+
+def get_coder(name=None):
+    """Return a coder backend instance (cached)."""
+    if name is None:
+        from .. import get_entropy_coder
+
+        name = get_entropy_coder()
+    if name not in _cache:
+        if name == "numpy":
+            _cache[name] = NumpyCoder()
+        elif name == "rans":
+            try:
+                _cache[name] = NativeCoder()
+            except RuntimeError:
+                _cache[name] = NumpyCoder()
+        elif name == "rans_interleaved":
+            try:
+                _cache[name] = InterleavedCoder()
+            except RuntimeError:
+                _cache[name] = NumpyCoder()
+        else:
+            raise ValueError(f"unknown entropy coder: {name!r}")
+    return _cache[name]

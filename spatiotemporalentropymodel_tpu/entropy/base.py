@@ -1,0 +1,98 @@
+"""Host-side batch compress/decompress over codec tables.
+
+Equivalent capability to EntropyModel.compress/decompress
+(entropy_models.py:201-279) with the Python-list boundary replaced by batched
+int32 array transfers: the device produces (symbols, cdf-row indexes) planes,
+the host runs the native rANS coder per batch element.
+"""
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..coders import get_coder
+from .tables import CodecTables
+
+
+def compress(
+    symbols,
+    indexes,
+    tables: CodecTables,
+    coder=None,
+) -> List[bytes]:
+    """Encode per-batch-element bitstreams.
+
+    symbols: int array (B, ...); indexes: same shape, CDF-row per element.
+    """
+    coder = coder or get_coder()
+    symbols = np.asarray(symbols, np.int32)
+    indexes = np.asarray(indexes, np.int32)
+    if symbols.shape != indexes.shape:
+        raise ValueError("`symbols` and `indexes` must have the same shape")
+    return [
+        coder.encode_with_indexes(
+            symbols[i].reshape(-1),
+            indexes[i].reshape(-1),
+            tables.cdf,
+            tables.cdf_length,
+            tables.offset,
+        )
+        for i in range(symbols.shape[0])
+    ]
+
+
+def decompress(
+    strings: Sequence[bytes],
+    indexes,
+    tables: CodecTables,
+    coder=None,
+) -> np.ndarray:
+    """Decode bitstreams back to int32 symbols with `indexes`'s shape."""
+    coder = coder or get_coder()
+    indexes = np.asarray(indexes, np.int32)
+    if len(strings) != indexes.shape[0]:
+        raise ValueError("one string per batch element required")
+    out = np.empty(indexes.shape, np.int32)
+    for i, s in enumerate(strings):
+        out[i] = coder.decode_with_indexes(
+            s,
+            indexes[i].reshape(-1),
+            tables.cdf,
+            tables.cdf_length,
+            tables.offset,
+        ).reshape(indexes.shape[1:])
+    return out
+
+
+def bottleneck_indexes(shape, channels: int) -> np.ndarray:
+    """Channel-broadcast CDF indexes for EntropyBottleneck coding
+    (entropy_models.py:454-459), NHWC: shape = (B, H, W, C)."""
+    b, h, w, c = shape
+    assert c == channels, (c, channels)
+    return np.broadcast_to(
+        np.arange(c, dtype=np.int32)[None, None, None, :], (b, h, w, c)
+    )
+
+
+def bottleneck_compress(z, tables: CodecTables, coder=None) -> List[bytes]:
+    """EB compress: symbols = round(z − median[c]) (entropy_models.py:461-464)."""
+    z = np.asarray(z)
+    medians = tables.medians[None, None, None, :]
+    symbols = np.round(z - medians).astype(np.int32)
+    idx = bottleneck_indexes(z.shape, z.shape[-1])
+    return compress(symbols, idx, tables, coder)
+
+
+def bottleneck_decompress(
+    strings: Sequence[bytes],
+    spatial_shape,
+    tables: CodecTables,
+    coder=None,
+    dtype=np.float32,
+) -> np.ndarray:
+    """EB decompress → ẑ = symbols + median[c] (entropy_models.py:466-470)."""
+    h, w = spatial_shape
+    c = tables.rows
+    idx = bottleneck_indexes((len(strings), h, w, c), c)
+    symbols = decompress(strings, idx, tables, coder)
+    return (symbols + tables.medians[None, None, None, :]).astype(dtype)

@@ -1,0 +1,144 @@
+"""Convolution helpers with the reference's exact geometry, NHWC layout.
+
+Parity targets:
+- ``conv``   == compressai/models/utils.py:112-121 (k5 s2, padding=k//2)
+- ``deconv`` == compressai/models/utils.py:124-130 (ConvTranspose2d with
+  padding=k//2, output_padding=stride-1 → output exactly stride*H)
+- ``conv3x3`` / ``conv1x1`` / ``subpel_conv3x3`` == compressai/layers/layers.py:50-64
+
+The transposed conv is implemented directly as an input-dilated convolution
+(`lax.conv_general_dilated` with ``lhs_dilation``) so the geometry is explicit
+and torch-checkpoint conversion is a pure layout transform: the stored kernel
+(kh, kw, in, out) equals the spatially *flipped* torch ConvTranspose2d weight.
+All kernels use HWIO layout; torch Conv2d weights (O, I, kh, kw) convert via
+``transpose(2, 3, 1, 0)``.
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# torch's nn.init.kaiming_normal_ default (fan_in, leaky_relu a=0 → gain √2);
+# reference applies it to every conv weight (compressai/models/priors.py:67-72).
+kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class Conv(nn.Module):
+    """2-D convolution with symmetric torch-style padding (padding=k//2)."""
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        p = k // 2
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", kaiming_normal, (k, k, in_ch, self.features), jnp.float32
+        )
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+class Deconv(nn.Module):
+    """Transposed conv matching ConvTranspose2d(k, s, padding=k//2,
+    output_padding=s-1): output spatial size is exactly ``s * H``.
+
+    Implemented as conv_general_dilated with lhs_dilation=s and padding
+    (k-1-p, k-1-p+op). The kernel param is the flipped torch weight, laid out
+    (kh, kw, in, out).
+    """
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        s = self.stride
+        p = k // 2
+        op = s - 1
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", kaiming_normal, (k, k, in_ch, self.features), jnp.float32
+        )
+        pad_lo = k - 1 - p
+        pad_hi = k - 1 - p + op
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+def conv(out_ch: int, kernel_size: int = 5, stride: int = 2, name=None) -> Conv:
+    return Conv(out_ch, kernel_size, stride, name=name)
+
+
+def deconv(out_ch: int, kernel_size: int = 5, stride: int = 2, name=None) -> Deconv:
+    return Deconv(out_ch, kernel_size, stride, name=name)
+
+
+def conv3x3(out_ch: int, stride: int = 1, name=None) -> Conv:
+    return Conv(out_ch, 3, stride, name=name)
+
+
+def conv1x1(out_ch: int, stride: int = 1, name=None) -> Conv:
+    return Conv(out_ch, 1, stride, name=name)
+
+
+def pixel_shuffle(x, r: int):
+    """NHWC pixel shuffle with torch channel ordering (c*r² + dy*r + dx)."""
+    b, h, w, c = x.shape
+    assert c % (r * r) == 0, (c, r)
+    oc = c // (r * r)
+    x = x.reshape(b, h, w, oc, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h, dy, w, dx, oc
+    return x.reshape(b, h * r, w * r, oc)
+
+
+class SubpelConv3x3(nn.Module):
+    """3x3 conv + pixel shuffle upsampler (layers.py:55-59)."""
+
+    features: int
+    r: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.features * self.r**2, 3, 1, name="conv")(x)
+        return pixel_shuffle(x, self.r)
+
+
+class Sequential(nn.Module):
+    """Minimal sequential container over callables/modules."""
+
+    layers: Sequence
+
+    @nn.compact
+    def __call__(self, x):
+        for layer in self.layers:
+            x = layer(x)
+        return x

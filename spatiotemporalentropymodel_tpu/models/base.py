@@ -1,0 +1,186 @@
+"""CompressionModel host wrapper.
+
+The reference's ``CompressionModel`` (compressai/models/priors.py:42-106) is an
+nn.Module with mutable CDF buffers. Here the same API surface —
+``forward / compress / decompress / update / aux_loss / load_state_dict-like
+serialization`` — is a thin host wrapper around:
+
+  * a pure flax module (``self.module``) holding the architecture,
+  * an immutable parameter pytree (``self.params``),
+  * explicit :class:`CodecTables` per entropy-model instance
+    (``self.tables``), produced by pure ``update()`` functions,
+  * cached jitted device functions for the codec transforms.
+
+Everything device-side is jitted with static shapes; the host side only runs
+the rANS coder and orchestration.
+"""
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy import base as entropy_base
+from ..entropy import (
+    get_scale_table,
+    update_bottleneck_tables,
+    update_gaussian_tables,
+)
+from ..coders import get_coder
+
+
+class CompressionModel:
+    """Base wrapper; subclasses set ``module`` and implement the codec path."""
+
+    # names of EntropyBottleneck submodules inside the flax param tree
+    bottleneck_names = ("entropy_bottleneck",)
+    # whether the model owns a GaussianConditional (scale-table driven)
+    has_gaussian = False
+
+    def __init__(self, module, params=None, rng=None, entropy_coder=None):
+        self.module = module
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.params = params
+        self.tables: Dict[str, Any] = {}
+        self._coder_name = entropy_coder
+        self._jit_cache: Dict[str, Any] = {}
+
+    # ---- init / params ----------------------------------------------------
+
+    def init(self, *example_args):
+        """Initialize parameters from example inputs."""
+        self._rng, k1, k2 = jax.random.split(self._rng, 3)
+        variables = self.module.init(
+            {"params": k1, "noise": k2}, *example_args, train=False
+        )
+        self.params = variables["params"]
+        return self.params
+
+    @property
+    def coder(self):
+        return get_coder(self._coder_name)
+
+    def _next_rng(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def _apply(self, *args, method=None, train=False, **kwargs):
+        rngs = {"noise": self._next_rng()} if train else None
+        return self.module.apply(
+            {"params": self.params},
+            *args,
+            train=train,
+            method=method,
+            rngs=rngs,
+            **kwargs,
+        )
+
+    def _jitted(self, name: str, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    # ---- reference API ----------------------------------------------------
+
+    def forward(self, *args, train: bool = False):
+        """Differentiable forward returning the reference's dict contract."""
+        return self._apply(*args, train=train)
+
+    __call__ = forward
+
+    def aux_loss(self):
+        """Aggregated EntropyBottleneck aux loss (priors.py:58-65)."""
+        return self.module.apply({"params": self.params}, method="aux_loss")
+
+    def update(self, scale_table=None, force: bool = False) -> bool:
+        """(Re)build codec tables from parameters (priors.py:77-96).
+
+        Returns True if tables were (re)computed.
+        """
+        if self.tables and not force:
+            return False
+        for name in self.bottleneck_names:
+            sub = self.params
+            for part in name.split("/"):
+                sub = sub[part]
+            self.tables[name] = update_bottleneck_tables(sub)
+        if self.has_gaussian:
+            if scale_table is None:
+                scale_table = get_scale_table()
+            self.tables["gaussian_conditional"] = update_gaussian_tables(scale_table)
+        self._jit_cache.clear()
+        return True
+
+    def _require_tables(self):
+        if not self.tables:
+            raise RuntimeError("Uninitialized CDFs. Run update() first")
+
+    # ---- EB coding helpers -------------------------------------------------
+
+    def _eb_compress(self, z, name="entropy_bottleneck"):
+        return entropy_base.bottleneck_compress(
+            np.asarray(z), self.tables[name], self.coder
+        )
+
+    def _eb_decompress(self, strings, spatial_shape, name="entropy_bottleneck"):
+        return self._eb_z_hat_from_symbols(
+            entropy_base.decompress(
+                strings,
+                entropy_base.bottleneck_indexes(
+                    (len(strings), *spatial_shape, self.tables[name].rows),
+                    self.tables[name].rows,
+                ),
+                self.tables[name],
+                self.coder,
+            ),
+            name,
+        )
+
+    def _eb_z_hat_from_symbols(self, symbols, name="entropy_bottleneck"):
+        med = self.tables[name].medians[None, None, None, :]
+        return (np.asarray(symbols) + med).astype(np.float32)
+
+    def _eb_quantize(self, z, name="entropy_bottleneck"):
+        """Encoder-side ẑ: identical to decode(encode(z)) by construction
+        (compress must replicate the decoder state — SURVEY §7 hard parts)."""
+        med = self.tables[name].medians[None, None, None, :]
+        return (np.round(np.asarray(z) - med) + med).astype(np.float32)
+
+    # ---- GC coding helpers -------------------------------------------------
+
+    def _gc_compress(self, y, indexes, means=None):
+        t = self.tables["gaussian_conditional"]
+        y = np.asarray(y)
+        if means is not None:
+            symbols = np.round(y - np.asarray(means)).astype(np.int32)
+        else:
+            symbols = np.round(y).astype(np.int32)
+        return entropy_base.compress(symbols, np.asarray(indexes), t, self.coder)
+
+    def _gc_decompress(self, strings, indexes, means=None):
+        t = self.tables["gaussian_conditional"]
+        symbols = entropy_base.decompress(strings, np.asarray(indexes), t, self.coder)
+        if means is not None:
+            return (symbols + np.asarray(means)).astype(np.float32)
+        return symbols.astype(np.float32)
+
+    # ---- serialization -----------------------------------------------------
+
+    def state_dict(self):
+        """Checkpoint pytree: params + codec tables (no shape surgery needed
+        on load, unlike models/utils.py:46-109)."""
+        return {
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "tables": {k: v.asdict() for k, v in self.tables.items()},
+        }
+
+    def load_state_dict(self, state):
+        from ..entropy.tables import CodecTables
+
+        self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+        self.tables = {
+            k: CodecTables.fromdict(v) for k, v in state.get("tables", {}).items()
+        }
+        self._jit_cache.clear()

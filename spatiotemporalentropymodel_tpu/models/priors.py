@@ -1,0 +1,534 @@
+"""Image codecs: FactorizedPrior, ScaleHyperprior, MeanScaleHyperprior,
+JointAutoregressiveHierarchicalPriors.
+
+Architecture parity: compressai/models/priors.py:109-694 (g_a/g_s 4× k5s2
+conv+GDN stacks, hyper pair h_a/h_s, optional masked-conv context model +
+1×1 entropy-parameters stack). NHWC, pure flax modules; codec paths are host
+orchestration in the wrapper classes with jitted device transforms.
+"""
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy import (
+    EntropyBottleneck,
+    GaussianConditional,
+    build_indexes,
+)
+from ..entropy import base as entropy_base
+from ..layers import GDN, Conv, Deconv, MaskedConv2d, Sequential, leaky_relu
+from ..ops.quantize import quantize_dequantize, quantize_noise
+from .base import CompressionModel
+
+
+class _LeakyReLU(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return leaky_relu(x)
+
+
+class _ReLU(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return jax.nn.relu(x)
+
+
+# ---------------------------------------------------------------------------
+# flax modules
+# ---------------------------------------------------------------------------
+
+
+class FactorizedPriorModule(nn.Module):
+    """priors.py:109-181 — g_a/g_s only; y coded by the EntropyBottleneck."""
+
+    N: int
+    M: int
+
+    def setup(self):
+        n, m = self.N, self.M
+        self.g_a = Sequential(
+            [Conv(n, 5, 2), GDN(n), Conv(n, 5, 2), GDN(n), Conv(n, 5, 2), GDN(n),
+             Conv(m, 5, 2)],
+            name="g_a",
+        )
+        self.g_s = Sequential(
+            [Deconv(n, 5, 2), GDN(n, inverse=True), Deconv(n, 5, 2),
+             GDN(n, inverse=True), Deconv(n, 5, 2), GDN(n, inverse=True),
+             Deconv(3, 5, 2)],
+            name="g_s",
+        )
+        self.entropy_bottleneck = EntropyBottleneck(self.M)
+
+    def __call__(self, x, train: bool = False):
+        y = self.g_a(x)
+        y_hat, y_likelihoods = self.entropy_bottleneck(y, train=train)
+        x_hat = self.g_s(y_hat)
+        return {"x_hat": x_hat, "likelihoods": {"y": y_likelihoods}}
+
+    def analysis(self, x, train: bool = False):
+        del train
+        return self.g_a(x)
+
+    def synthesis(self, y_hat, train: bool = False):
+        del train
+        return self.g_s(y_hat)
+
+    def aux_loss(self, train: bool = False):
+        del train
+        return self.entropy_bottleneck.aux_loss()
+
+
+class ScaleHyperpriorModule(nn.Module):
+    """priors.py:196-313 — hyper pair on |y| → σ only."""
+
+    N: int
+    M: int
+
+    def setup(self):
+        n, m = self.N, self.M
+        self.g_a = Sequential(
+            [Conv(n, 5, 2), GDN(n), Conv(n, 5, 2), GDN(n), Conv(n, 5, 2), GDN(n),
+             Conv(m, 5, 2)],
+            name="g_a",
+        )
+        self.g_s = Sequential(
+            [Deconv(n, 5, 2), GDN(n, inverse=True), Deconv(n, 5, 2),
+             GDN(n, inverse=True), Deconv(n, 5, 2), GDN(n, inverse=True),
+             Deconv(3, 5, 2)],
+            name="g_s",
+        )
+        self.h_a = Sequential(
+            [Conv(n, 3, 1), _ReLU(), Conv(n, 5, 2), _ReLU(), Conv(n, 5, 2)],
+            name="h_a",
+        )
+        self.h_s = Sequential(
+            [Deconv(n, 5, 2), _ReLU(), Deconv(n, 5, 2), _ReLU(), Conv(m, 3, 1),
+             _ReLU()],
+            name="h_s",
+        )
+        self.entropy_bottleneck = EntropyBottleneck(self.N)
+        self.gaussian_conditional = GaussianConditional()
+
+    def __call__(self, x, train: bool = False):
+        y = self.g_a(x)
+        z = self.h_a(jnp.abs(y))
+        z_hat, z_likelihoods = self.entropy_bottleneck(z, train=train)
+        scales_hat = self.h_s(z_hat)
+        y_hat, y_likelihoods = self.gaussian_conditional(y, scales_hat, train=train)
+        x_hat = self.g_s(y_hat)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+        }
+
+    def analysis(self, x, train: bool = False):
+        del train
+        y = self.g_a(x)
+        z = self.h_a(jnp.abs(y))
+        return y, z
+
+    def hyper_synthesis(self, z_hat, train: bool = False):
+        del train
+        return self.h_s(z_hat)
+
+    def synthesis(self, y_hat, train: bool = False):
+        del train
+        return self.g_s(y_hat)
+
+    def aux_loss(self, train: bool = False):
+        del train
+        return self.entropy_bottleneck.aux_loss()
+
+
+class MeanScaleHyperpriorModule(ScaleHyperpriorModule):
+    """priors.py:316-402 — h_s outputs (σ, μ); adds getY/getX STEM hooks."""
+
+    def setup(self):
+        n, m = self.N, self.M
+        self.g_a = Sequential(
+            [Conv(n, 5, 2), GDN(n), Conv(n, 5, 2), GDN(n), Conv(n, 5, 2), GDN(n),
+             Conv(m, 5, 2)],
+            name="g_a",
+        )
+        self.g_s = Sequential(
+            [Deconv(n, 5, 2), GDN(n, inverse=True), Deconv(n, 5, 2),
+             GDN(n, inverse=True), Deconv(n, 5, 2), GDN(n, inverse=True),
+             Deconv(3, 5, 2)],
+            name="g_s",
+        )
+        self.h_a = Sequential(
+            [Conv(n, 3, 1), _LeakyReLU(), Conv(n, 5, 2), _LeakyReLU(), Conv(n, 5, 2)],
+            name="h_a",
+        )
+        self.h_s = Sequential(
+            [Deconv(m, 5, 2), _LeakyReLU(), Deconv(m * 3 // 2, 5, 2), _LeakyReLU(),
+             Conv(m * 2, 3, 1)],
+            name="h_s",
+        )
+        self.entropy_bottleneck = EntropyBottleneck(self.N)
+        self.gaussian_conditional = GaussianConditional()
+
+    def __call__(self, x, train: bool = False):
+        y = self.g_a(x)
+        z = self.h_a(y)
+        z_hat, z_likelihoods = self.entropy_bottleneck(z, train=train)
+        gaussian_params = self.h_s(z_hat)
+        scales_hat, means_hat = jnp.split(gaussian_params, 2, axis=-1)
+        y_hat, y_likelihoods = self.gaussian_conditional(
+            y, scales_hat, means_hat, train=train
+        )
+        x_hat = self.g_s(y_hat)
+        return {
+            "y": y,
+            "y_hat": y_hat,
+            "x_hat": x_hat,
+            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+        }
+
+    def analysis(self, x, train: bool = False):
+        del train
+        y = self.g_a(x)
+        z = self.h_a(y)
+        return y, z
+
+    def hyper_synthesis(self, z_hat, train: bool = False):
+        del train
+        gaussian_params = self.h_s(z_hat)
+        scales_hat, means_hat = jnp.split(gaussian_params, 2, axis=-1)
+        return scales_hat, means_hat
+
+    def get_y(self, x, train: bool = False):
+        """getY hook (priors.py:390-395): latent + quantized latent for STEM."""
+        y = self.g_a(x)
+        if train:
+            y_quantized = quantize_noise(y, self.make_rng("noise"))
+        else:
+            y_quantized = quantize_dequantize(y)
+        return y, y_quantized
+
+    def get_x(self, y_hat, train: bool = False):
+        """getX hook (priors.py:397-402): synthesize and clamp to [0, 1]."""
+        del train
+        return jnp.clip(self.g_s(y_hat), 0.0, 1.0)
+
+
+class JointAutoregressiveModule(MeanScaleHyperpriorModule):
+    """priors.py:406-694 (mbt2018) — + masked-conv context model and 1×1
+    entropy-parameters stack; h_a/h_s with k5s2 inner layers."""
+
+    def setup(self):
+        n, m = self.N, self.M
+        self.g_a = Sequential(
+            [Conv(n, 5, 2), GDN(n), Conv(n, 5, 2), GDN(n), Conv(n, 5, 2), GDN(n),
+             Conv(m, 5, 2)],
+            name="g_a",
+        )
+        self.g_s = Sequential(
+            [Deconv(n, 5, 2), GDN(n, inverse=True), Deconv(n, 5, 2),
+             GDN(n, inverse=True), Deconv(n, 5, 2), GDN(n, inverse=True),
+             Deconv(3, 5, 2)],
+            name="g_s",
+        )
+        self.h_a = Sequential(
+            [Conv(n, 3, 1), _LeakyReLU(), Conv(n, 5, 2), _LeakyReLU(), Conv(n, 5, 2)],
+            name="h_a",
+        )
+        self.h_s = Sequential(
+            [Deconv(m, 5, 2), _LeakyReLU(), Deconv(m * 3 // 2, 5, 2), _LeakyReLU(),
+             Conv(m * 2, 3, 1)],
+            name="h_s",
+        )
+        self.entropy_parameters = Sequential(
+            [Conv(m * 10 // 3, 1, 1), _LeakyReLU(), Conv(m * 8 // 3, 1, 1),
+             _LeakyReLU(), Conv(m * 6 // 3, 1, 1)],
+            name="entropy_parameters",
+        )
+        self.context_prediction = MaskedConv2d(2 * m, kernel_size=5, mask_type="A")
+        self.entropy_bottleneck = EntropyBottleneck(self.N)
+        self.gaussian_conditional = GaussianConditional()
+
+    def __call__(self, x, train: bool = False):
+        y = self.g_a(x)
+        z = self.h_a(y)
+        z_hat, z_likelihoods = self.entropy_bottleneck(z, train=train)
+        params = self.h_s(z_hat)
+
+        # ctx model sees *quantized* latents; the y_hat used for synthesis and
+        # the one inside gaussian_conditional are distinct draws — preserved
+        # from the reference's double-quantization (priors.py:483-495).
+        if train:
+            y_hat = quantize_noise(y, self.make_rng("noise"))
+        else:
+            y_hat = quantize_dequantize(y)
+        ctx_params = self.context_prediction(y_hat)
+        gaussian_params = self.entropy_parameters(
+            jnp.concatenate([params, ctx_params], axis=-1)
+        )
+        scales_hat, means_hat = jnp.split(gaussian_params, 2, axis=-1)
+        _, y_likelihoods = self.gaussian_conditional(
+            y, scales_hat, means_hat, train=train
+        )
+        x_hat = self.g_s(y_hat)
+        return {
+            "y": y,
+            "y_hat": y_hat,
+            "x_hat": x_hat,
+            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+            "entropy_params": {"scales_hat": scales_hat, "means_hat": means_hat},
+        }
+
+    def hyper_synthesis(self, z_hat, train: bool = False):
+        del train
+        return self.h_s(z_hat)  # (B, H, W, 2M) params, pre-EPM
+
+    def ar_step(self, y_crop, p_vec, train: bool = False):
+        """One AR pixel: 5×5 masked ctx on the crop + 1×1 EPM at the center.
+
+        y_crop: (B, 5, 5, M) window; p_vec: (B, 1, 1, 2M) hyper params at the
+        pixel. Returns (scales, means), each (B, M).
+        """
+        del train
+        ctx = self.context_prediction(y_crop)[:, 2:3, 2:3, :]
+        gp = self.entropy_parameters(jnp.concatenate([p_vec, ctx], axis=-1))
+        scales, means = jnp.split(gp[:, 0, 0, :], 2, axis=-1)
+        return scales, means
+
+    def get_y(self, x, train: bool = False):
+        """getY (priors.py:686-694): always noise-quantized in the reference."""
+        y = self.g_a(x)
+        y_quantized = quantize_noise(y, self.make_rng("noise"))
+        return y, y_quantized
+
+
+# ---------------------------------------------------------------------------
+# host wrappers
+# ---------------------------------------------------------------------------
+
+
+class FactorizedPrior(CompressionModel):
+    downsampling_factor = 2**4
+
+    def __init__(self, N: int, M: int, **kw):
+        super().__init__(FactorizedPriorModule(N, M), **kw)
+        self.N, self.M = N, M
+
+    def compress(self, x) -> Dict[str, Any]:
+        self._require_tables()
+        y = self._jitted("analysis", lambda v: self._apply(v, method="analysis"))(x)
+        y_strings = self._eb_compress(y)
+        return {"strings": [y_strings], "shape": tuple(y.shape[1:3])}
+
+    def decompress(self, strings, shape) -> Dict[str, Any]:
+        assert isinstance(strings, list) and len(strings) == 1
+        self._require_tables()
+        y_hat = self._eb_decompress(strings[0], shape)
+        x_hat = self._jitted(
+            "synthesis",
+            lambda v: jnp.clip(self._apply(v, method="synthesis"), 0.0, 1.0),
+        )(y_hat)
+        return {"x_hat": x_hat}
+
+
+class ScaleHyperprior(CompressionModel):
+    has_gaussian = True
+    downsampling_factor = 2**6
+
+    def __init__(self, N: int, M: int, **kw):
+        super().__init__(ScaleHyperpriorModule(N, M), **kw)
+        self.N, self.M = N, M
+
+    def _scales_and_indexes(self):
+        table = self.tables["gaussian_conditional"].scale_table
+
+        def fn(z_hat):
+            scales = self._apply(z_hat, method="hyper_synthesis")
+            return scales, build_indexes(scales, table)
+
+        return self._jitted("hyper_synthesis", fn)
+
+    def compress(self, x) -> Dict[str, Any]:
+        self._require_tables()
+        y, z = self._jitted("analysis", lambda v: self._apply(v, method="analysis"))(x)
+        z_strings = self._eb_compress(z)
+        z_hat = self._eb_quantize(z)
+        _, indexes = self._scales_and_indexes()(z_hat)
+        y_strings = self._gc_compress(y, indexes)
+        return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
+
+    def decompress(self, strings, shape) -> Dict[str, Any]:
+        assert isinstance(strings, list) and len(strings) == 2
+        self._require_tables()
+        z_hat = self._eb_decompress(strings[1], shape)
+        _, indexes = self._scales_and_indexes()(z_hat)
+        y_hat = self._gc_decompress(strings[0], indexes)
+        x_hat = self._jitted(
+            "synthesis",
+            lambda v: jnp.clip(self._apply(v, method="synthesis"), 0.0, 1.0),
+        )(y_hat)
+        return {"x_hat": x_hat}
+
+
+class MeanScaleHyperprior(ScaleHyperprior):
+    """priors.py:316-402; adds getY/getX used by the STEM training scripts."""
+
+    def __init__(self, N: int, M: int, **kw):
+        CompressionModel.__init__(self, MeanScaleHyperpriorModule(N, M), **kw)
+        self.N, self.M = N, M
+
+    def _params_and_indexes(self):
+        table = self.tables["gaussian_conditional"].scale_table
+
+        def fn(z_hat):
+            scales, means = self._apply(z_hat, method="hyper_synthesis")
+            return scales, means, build_indexes(scales, table)
+
+        return self._jitted("hyper_synthesis_ms", fn)
+
+    def compress(self, x) -> Dict[str, Any]:
+        self._require_tables()
+        y, z = self._jitted("analysis", lambda v: self._apply(v, method="analysis"))(x)
+        z_strings = self._eb_compress(z)
+        z_hat = self._eb_quantize(z)
+        _, means, indexes = self._params_and_indexes()(z_hat)
+        y_strings = self._gc_compress(y, indexes, means)
+        return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
+
+    def decompress(self, strings, shape) -> Dict[str, Any]:
+        assert isinstance(strings, list) and len(strings) == 2
+        self._require_tables()
+        z_hat = self._eb_decompress(strings[1], shape)
+        _, means, indexes = self._params_and_indexes()(z_hat)
+        y_hat = self._gc_decompress(strings[0], indexes, means)
+        x_hat = self._jitted(
+            "synthesis",
+            lambda v: jnp.clip(self._apply(v, method="synthesis"), 0.0, 1.0),
+        )(y_hat)
+        return {"x_hat": x_hat, "y_hat": y_hat}
+
+    def get_y(self, x, train: bool = False):
+        return self._apply(x, method="get_y", train=train)
+
+    getY = get_y
+
+    def get_x(self, y_hat):
+        return self._jitted(
+            "get_x", lambda v: self._apply(v, method="get_x")
+        )(y_hat)
+
+    getX = get_x
+
+
+class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
+    """mbt2018 (priors.py:406-694). The serial AR codec runs as a host loop
+    over a single jitted per-pixel step (correctness path); the parallel
+    wavefront codec is the perf path (see models/ar_wavefront.py)."""
+
+    def __init__(self, N: int = 192, M: int = 192, **kw):
+        CompressionModel.__init__(self, JointAutoregressiveModule(N, M), **kw)
+        self.N, self.M = N, M
+
+    # -- AR helpers ---------------------------------------------------------
+
+    def _ar_step_fn(self):
+        table = self.tables["gaussian_conditional"].scale_table
+
+        def fn(y_hat_pad, params, h, w):
+            # y_hat_pad: (B, H+4, W+4, M); params: (B, H, W, 2M)
+            crop = jax.lax.dynamic_slice(
+                y_hat_pad,
+                (0, h, w, 0),
+                (y_hat_pad.shape[0], 5, 5, y_hat_pad.shape[3]),
+            )
+            p_vec = jax.lax.dynamic_slice(
+                params, (0, h, w, 0), (params.shape[0], 1, 1, params.shape[3])
+            )
+            scales, means = self._apply(crop, p_vec, method="ar_step")
+            indexes = build_indexes(scales, table)
+            return crop[:, 2, 2, :], means, indexes
+
+        return self._jitted("ar_step", fn)
+
+    def _ar_write_fn(self):
+        def fn(y_hat_pad, value, h, w):
+            return jax.lax.dynamic_update_slice(
+                y_hat_pad, value[:, None, None, :], (0, h + 2, w + 2, 0)
+            )
+
+        return self._jitted("ar_write", fn)
+
+    def compress(self, x) -> Dict[str, Any]:
+        self._require_tables()
+        y, z = self._jitted("analysis", lambda v: self._apply(v, method="analysis"))(x)
+        z_strings = self._eb_compress(z)
+        z_hat = self._eb_quantize(z)
+        params = self._jitted(
+            "hyper_synthesis", lambda v: self._apply(v, method="hyper_synthesis")
+        )(z_hat)
+
+        b, hgt, wid, m = y.shape
+        y_hat_pad = jnp.pad(y, ((0, 0), (2, 2), (2, 2), (0, 0)))
+        step = self._ar_step_fn()
+        write = self._ar_write_fn()
+
+        symbols_all, indexes_all = [], []
+        for h in range(hgt):
+            for w in range(wid):
+                y_center, means, indexes = step(y_hat_pad, params, h, w)
+                sym = np.round(np.asarray(y_center) - np.asarray(means)).astype(
+                    np.int32
+                )
+                y_hat_pad = write(y_hat_pad, jnp.asarray(sym) + means, h, w)
+                symbols_all.append(sym)
+                indexes_all.append(np.asarray(indexes))
+
+        t = self.tables["gaussian_conditional"]
+        y_strings = []
+        for i in range(b):
+            syms = np.stack([s[i] for s in symbols_all]).reshape(-1)
+            idxs = np.stack([ix[i] for ix in indexes_all]).reshape(-1)
+            y_strings.append(
+                self.coder.encode_with_indexes(
+                    syms, idxs, t.cdf, t.cdf_length, t.offset
+                )
+            )
+        return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
+
+    def decompress(self, strings, shape) -> Dict[str, Any]:
+        assert isinstance(strings, list) and len(strings) == 2
+        self._require_tables()
+        z_hat = self._eb_decompress(strings[1], shape)
+        params = self._jitted(
+            "hyper_synthesis", lambda v: self._apply(v, method="hyper_synthesis")
+        )(z_hat)
+
+        b = z_hat.shape[0]
+        hgt, wid = shape[0] * 4, shape[1] * 4
+        m = self.M
+        t = self.tables["gaussian_conditional"]
+        step = self._ar_step_fn()
+        write = self._ar_write_fn()
+
+        decoders = [self.coder.make_stream_decoder(s) for s in strings[0]]
+        y_hat_pad = jnp.zeros((b, hgt + 4, wid + 4, m), jnp.float32)
+        for h in range(hgt):
+            for w in range(wid):
+                _, means, indexes = step(y_hat_pad, params, h, w)
+                idx_np = np.asarray(indexes)
+                sym = np.stack(
+                    [
+                        decoders[i].decode(idx_np[i], t.cdf, t.cdf_length, t.offset)
+                        for i in range(b)
+                    ]
+                )
+                y_hat_pad = write(y_hat_pad, jnp.asarray(sym) + means, h, w)
+
+        y_hat = y_hat_pad[:, 2:-2, 2:-2, :]
+        x_hat = self._jitted(
+            "synthesis",
+            lambda v: jnp.clip(self._apply(v, method="synthesis"), 0.0, 1.0),
+        )(y_hat)
+        return {"x_hat": x_hat, "y_hat": y_hat}

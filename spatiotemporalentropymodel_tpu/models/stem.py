@@ -1,0 +1,373 @@
+"""STEM — Spatio-Temporal Entropy Model P-frame family.
+
+Parity target: compressai/models/spatiotemporalpriors.py (1072 LoC, five
+near-identical classes). Here one parameterized implementation covers all five
+variants (the reference's acknowledged TODO, spatiotemporalpriors.py:32):
+
+  variant                    priors fused in EPM        EPM input  codec path
+  ---------------------------------------------------------------------------
+  without_spm_tpm            hyper                      2M         parallel
+  without_spm                TPM + hyper                4M         parallel
+  without_tpm                SPM + hyper                4M         serial AR
+  full                       TPM + hyper + SPM          6M         serial AR
+  res (flagship)             TPM + hyper + SPM on the   6M         serial AR
+                             residual y_cur − y_cond
+
+Common blocks (spatiotemporalpriors.py:43-65, 142-171, 523-556):
+  HE : k3s1(→256) + 2 × k5s2(→256/EB-ch) hyper-encoder over cat(y_cur, y_cond)
+  HD : mirror transposed stack → 2M channels
+  TPM: 3 × k5s1 (256→320→2M) temporal prior on y_cond
+  SPM: MaskedConv2d(M→2M, k5) spatial context
+  EPM: 1×1 stack (in→768→576→2M) fusing the priors → (σ, μ)
+
+All NHWC; inputs are latents (B, H, W, M) with M=192, EB channels 256 by
+default. Training noise via the "noise" RNG stream.
+"""
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy import EntropyBottleneck, GaussianConditional, build_indexes
+from ..layers import Conv, Deconv, MaskedConv2d, Sequential, leaky_relu
+from ..ops.quantize import quantize_dequantize, quantize_noise
+from .base import CompressionModel
+
+STEM_VARIANTS = ("without_spm_tpm", "without_spm", "without_tpm", "full", "res")
+
+
+class _LeakyReLU(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return leaky_relu(x)
+
+
+class STEMModule(nn.Module):
+    """One parameterized module covering the five reference variants."""
+
+    variant: str = "res"
+    entropy_bottleneck_channels: int = 256
+    in_channels: int = 192
+
+    @property
+    def use_tpm(self) -> bool:
+        return self.variant in ("without_spm", "full", "res")
+
+    @property
+    def use_spm(self) -> bool:
+        return self.variant in ("without_tpm", "full", "res")
+
+    @property
+    def residual(self) -> bool:
+        return self.variant == "res"
+
+    def setup(self):
+        if self.variant not in STEM_VARIANTS:
+            raise ValueError(f"unknown STEM variant: {self.variant!r}")
+        m = self.in_channels
+        ebc = self.entropy_bottleneck_channels
+
+        # The two non-SPM variants use a fixed 256-wide HE tail
+        # (spatiotemporalpriors.py:44-49); the SPM variants end at ebc
+        # (:261-265, :531-535). Identical when ebc == 256 (the default).
+        he_out = 256 if self.variant in ("without_spm_tpm", "without_spm") else ebc
+        self.HE = Sequential(
+            [Conv(256, 3, 1), _LeakyReLU(), Conv(256, 5, 2), _LeakyReLU(),
+             Conv(he_out, 5, 2)],
+            name="HE",
+        )
+        self.HD = Sequential(
+            [Deconv(256, 5, 2), _LeakyReLU(), Deconv(256, 5, 2), _LeakyReLU(),
+             Conv(m * 2, 3, 1)],
+            name="HD",
+        )
+        if self.use_tpm:
+            self.TPM = Sequential(
+                [Conv(256, 5, 1), _LeakyReLU(), Conv(320, 5, 1), _LeakyReLU(),
+                 Conv(m * 2, 5, 1)],
+                name="TPM",
+            )
+        if self.use_spm:
+            self.context_prediction = MaskedConv2d(2 * m, kernel_size=5,
+                                                   mask_type="A")
+        n_priors = 1 + int(self.use_tpm) + int(self.use_spm)
+        del n_priors  # EPM input channels are implied by concatenation
+        self.EPM = Sequential(
+            [Conv(768, 1, 1), _LeakyReLU(), Conv(576, 1, 1), _LeakyReLU(),
+             Conv(m * 2, 1, 1)],
+            name="EPM",
+        )
+        self.entropy_bottleneck = EntropyBottleneck(ebc)
+        self.gaussian_conditional = GaussianConditional()
+
+    # ---- shared sub-computations ------------------------------------------
+
+    def _priors_no_spm(self, z_hat, y_conditioned):
+        feats = [self.HD(z_hat)]
+        if self.use_tpm:
+            feats.insert(0, self.TPM(y_conditioned))
+        return feats
+
+    def _epm(self, feats):
+        gp = self.EPM(jnp.concatenate(feats, axis=-1))
+        return jnp.split(gp, 2, axis=-1)  # scales, means
+
+    # ---- training / estimation forward ------------------------------------
+
+    def __call__(self, y_cur, y_conditioned, train: bool = False):
+        """Forward with rate estimation (dict contract of the reference:
+        {"y_hat", "likelihoods": {"y", "z"}})."""
+        z = self.HE(jnp.concatenate([y_cur, y_conditioned], axis=-1))
+        z_hat, z_likelihoods = self.entropy_bottleneck(z, train=train)
+        feats = self._priors_no_spm(z_hat, y_conditioned)
+
+        target = y_cur - y_conditioned if self.residual else y_cur
+
+        if self.use_spm:
+            # ctx model sees the quantized target (double quantization kept
+            # from the reference, spatiotemporalpriors.py:570-579, 852-862)
+            if train:
+                target_hat = quantize_noise(target, self.make_rng("noise"))
+            else:
+                target_hat = quantize_dequantize(target)
+            feats = feats + [self.context_prediction(target_hat)]
+            scales_hat, means_hat = self._epm(feats)
+            _, y_likelihoods = self.gaussian_conditional(
+                target, scales_hat, means_hat, train=train
+            )
+            y_hat = target_hat + y_conditioned if self.residual else target_hat
+        else:
+            scales_hat, means_hat = self._epm(feats)
+            q_hat, y_likelihoods = self.gaussian_conditional(
+                target, scales_hat, means_hat, train=train
+            )
+            y_hat = q_hat + y_conditioned if self.residual else q_hat
+
+        return {
+            "y_hat": y_hat,
+            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+        }
+
+    # ---- codec-path sub-functions (jitted by the wrapper) ------------------
+
+    def hyper_encode(self, y_cur, y_conditioned, train: bool = False):
+        del train
+        return self.HE(jnp.concatenate([y_cur, y_conditioned], axis=-1))
+
+    def entropy_params(self, z_hat, y_conditioned, train: bool = False):
+        """Parallel-variant (σ, μ) from hyper (+ TPM) priors."""
+        del train
+        return self._epm(self._priors_no_spm(z_hat, y_conditioned))
+
+    def prior_feats(self, z_hat, y_conditioned, train: bool = False):
+        """AR-variant prior features before SPM fusion: (B, H, W, 2M·k)."""
+        del train
+        return jnp.concatenate(self._priors_no_spm(z_hat, y_conditioned), axis=-1)
+
+    def ar_step(self, target_crop, prior_vec, train: bool = False):
+        """One AR pixel: masked 5×5 ctx at the crop center + 1×1 EPM."""
+        del train
+        ctx = self.context_prediction(target_crop)[:, 2:3, 2:3, :]
+        gp = self.EPM(jnp.concatenate([prior_vec, ctx], axis=-1))
+        scales, means = jnp.split(gp[:, 0, 0, :], 2, axis=-1)
+        return scales, means
+
+    def aux_loss(self, train: bool = False):
+        del train
+        return self.entropy_bottleneck.aux_loss()
+
+
+class SpatioTemporalPriorModel(CompressionModel):
+    """Host wrapper with the reference's compress/decompress API:
+
+      compress(y_cur, y_conditioned) -> {"strings": [y, z], "shape"}
+      decompress(strings, shape, y_conditioned) -> {"y_hat": ...}
+
+    Note the reference returns a bare tensor from most variants and a dict
+    from the Res variant (spatiotemporalpriors.py:1012 — API inconsistency);
+    here every variant returns the dict form.
+    """
+
+    has_gaussian = True
+
+    def __init__(
+        self,
+        variant: str = "res",
+        entropy_bottleneck_channels: int = 256,
+        in_channels: int = 192,
+        **kw,
+    ):
+        super().__init__(
+            STEMModule(variant, entropy_bottleneck_channels, in_channels), **kw
+        )
+        self.variant = variant
+        self.in_channels = in_channels
+
+    @property
+    def use_spm(self):
+        return self.module.use_spm
+
+    @property
+    def residual(self):
+        return self.module.residual
+
+    # ---- parallel codec path ----------------------------------------------
+
+    def _params_indexes_fn(self):
+        table = self.tables["gaussian_conditional"].scale_table
+
+        def fn(z_hat, y_cond):
+            scales, means = self._apply(z_hat, y_cond, method="entropy_params")
+            return scales, means, build_indexes(scales, table)
+
+        return self._jitted("entropy_params", fn)
+
+    def compress(self, y_cur, y_conditioned) -> Dict[str, Any]:
+        self._require_tables()
+        z = self._jitted(
+            "hyper_encode", lambda a, b: self._apply(a, b, method="hyper_encode")
+        )(y_cur, y_conditioned)
+        z_strings = self._eb_compress(z)
+        z_hat = jnp.asarray(self._eb_quantize(z))
+
+        if not self.use_spm:
+            _, means, indexes = self._params_indexes_fn()(z_hat, y_conditioned)
+            target = (
+                np.asarray(y_cur) - np.asarray(y_conditioned)
+                if self.residual
+                else np.asarray(y_cur)
+            )
+            y_strings = self._gc_compress(target, indexes, means)
+            return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
+        return self._compress_ar(y_cur, y_conditioned, z, z_hat, z_strings)
+
+    def decompress(self, strings, shape, y_conditioned) -> Dict[str, Any]:
+        assert isinstance(strings, list) and len(strings) == 2
+        self._require_tables()
+        z_hat = jnp.asarray(self._eb_decompress(strings[1], shape))
+
+        if not self.use_spm:
+            _, means, indexes = self._params_indexes_fn()(z_hat, y_conditioned)
+            target_hat = self._gc_decompress(strings[0], indexes, means)
+            y_hat = (
+                target_hat + np.asarray(y_conditioned) if self.residual else target_hat
+            )
+            return {"y_hat": jnp.asarray(y_hat)}
+        return self._decompress_ar(strings, z_hat, y_conditioned)
+
+    # ---- serial AR codec path (SPM variants) -------------------------------
+
+    def _prior_feats_fn(self):
+        return self._jitted(
+            "prior_feats", lambda z, c: self._apply(z, c, method="prior_feats")
+        )
+
+    def _ar_step_fn(self):
+        table = self.tables["gaussian_conditional"].scale_table
+
+        def fn(target_pad, priors, h, w):
+            crop = jax.lax.dynamic_slice(
+                target_pad,
+                (0, h, w, 0),
+                (target_pad.shape[0], 5, 5, target_pad.shape[3]),
+            )
+            p_vec = jax.lax.dynamic_slice(
+                priors, (0, h, w, 0), (priors.shape[0], 1, 1, priors.shape[3])
+            )
+            scales, means = self._apply(crop, p_vec, method="ar_step")
+            return crop[:, 2, 2, :], means, build_indexes(scales, table)
+
+        return self._jitted("ar_step", fn)
+
+    def _ar_write_fn(self):
+        def fn(buf, value, h, w):
+            return jax.lax.dynamic_update_slice(
+                buf, value[:, None, None, :], (0, h + 2, w + 2, 0)
+            )
+
+        return self._jitted("ar_write", fn)
+
+    def _compress_ar(self, y_cur, y_conditioned, z, z_hat, z_strings):
+        priors = self._prior_feats_fn()(z_hat, y_conditioned)
+        target = (
+            jnp.asarray(y_cur) - jnp.asarray(y_conditioned)
+            if self.residual
+            else jnp.asarray(y_cur)
+        )
+        b, hgt, wid, m = target.shape
+        target_pad = jnp.pad(target, ((0, 0), (2, 2), (2, 2), (0, 0)))
+        step, write = self._ar_step_fn(), self._ar_write_fn()
+
+        symbols_all, indexes_all = [], []
+        for h in range(hgt):
+            for w in range(wid):
+                center, means, indexes = step(target_pad, priors, h, w)
+                sym = np.round(np.asarray(center) - np.asarray(means)).astype(np.int32)
+                target_pad = write(target_pad, jnp.asarray(sym) + means, h, w)
+                symbols_all.append(sym)
+                indexes_all.append(np.asarray(indexes))
+
+        t = self.tables["gaussian_conditional"]
+        y_strings = []
+        for i in range(b):
+            syms = np.stack([s[i] for s in symbols_all]).reshape(-1)
+            idxs = np.stack([ix[i] for ix in indexes_all]).reshape(-1)
+            y_strings.append(
+                self.coder.encode_with_indexes(syms, idxs, t.cdf, t.cdf_length,
+                                               t.offset)
+            )
+        return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
+
+    def _decompress_ar(self, strings, z_hat, y_conditioned):
+        priors = self._prior_feats_fn()(z_hat, y_conditioned)
+        b = z_hat.shape[0]
+        hgt, wid = z_hat.shape[1] * 4, z_hat.shape[2] * 4
+        m = self.in_channels
+        t = self.tables["gaussian_conditional"]
+        step, write = self._ar_step_fn(), self._ar_write_fn()
+
+        decoders = [self.coder.make_stream_decoder(s) for s in strings[0]]
+        target_pad = jnp.zeros((b, hgt + 4, wid + 4, m), jnp.float32)
+        for h in range(hgt):
+            for w in range(wid):
+                _, means, indexes = step(target_pad, priors, h, w)
+                idx_np = np.asarray(indexes)
+                sym = np.stack(
+                    [
+                        decoders[i].decode(idx_np[i], t.cdf, t.cdf_length, t.offset)
+                        for i in range(b)
+                    ]
+                )
+                target_pad = write(target_pad, jnp.asarray(sym) + means, h, w)
+
+        target_hat = target_pad[:, 2:-2, 2:-2, :]
+        y_hat = (
+            target_hat + jnp.asarray(y_conditioned) if self.residual else target_hat
+        )
+        return {"y_hat": y_hat}
+
+
+# ---- reference-named constructors (README/zoo parity) ----------------------
+
+
+def SpatioTemporalPriorModelWithoutSPMTPM(**kw):
+    return SpatioTemporalPriorModel(variant="without_spm_tpm", **kw)
+
+
+def SpatioTemporalPriorModelWithoutSPM(**kw):
+    return SpatioTemporalPriorModel(variant="without_spm", **kw)
+
+
+def SpatioTemporalPriorModelWithoutTPM(**kw):
+    return SpatioTemporalPriorModel(variant="without_tpm", **kw)
+
+
+def SpatioTemporalPriorModelFull(**kw):
+    return SpatioTemporalPriorModel(variant="full", **kw)
+
+
+def SpatioTemporalPriorModel_Res(**kw):
+    return SpatioTemporalPriorModel(variant="res", **kw)

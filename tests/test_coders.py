@@ -1,0 +1,159 @@
+"""rANS coder and CDF quantizer tests.
+
+The NumPy coder is the executable spec (written from the reference's
+rans_interface.cpp / rans64.h semantics); the native C++ backend must produce
+bit-identical streams.
+"""
+
+import numpy as np
+import pytest
+
+from spatiotemporalentropymodel_tpu.coders import get_coder
+from spatiotemporalentropymodel_tpu.coders import rans as native
+from spatiotemporalentropymodel_tpu.entropy.cdf import (
+    build_table_rows,
+    pmf_to_quantized_cdf,
+)
+
+
+@pytest.fixture(scope="module")
+def tables():
+    rng = np.random.default_rng(42)
+    max_len = 20
+    pmfs, lengths = [], []
+    for _ in range(7):
+        n = int(rng.integers(2, max_len + 1))
+        p = rng.random(n)
+        p = p / p.sum() * (1 - 1e-4)
+        pmfs.append(np.pad(p, (0, max_len - n)))
+        lengths.append(n)
+    cdf = build_table_rows(np.array(pmfs), np.full(7, 1e-4), lengths, max_len)
+    cdf_lengths = np.array(lengths, np.int32) + 2
+    offsets = rng.integers(-8, 8, 7).astype(np.int32)
+    return cdf, cdf_lengths, offsets
+
+
+def _random_payload(tables, n=2500, escapes=True, seed=0):
+    cdf, cdf_lengths, offsets = tables
+    rng = np.random.default_rng(seed)
+    indexes = rng.integers(0, cdf.shape[0], n).astype(np.int32)
+    lo = offsets[indexes]
+    hi = offsets[indexes] + cdf_lengths[indexes] - 2
+    symbols = (lo + rng.integers(0, 1 << 16, n) % np.maximum(hi - lo, 1)).astype(
+        np.int32
+    )
+    if escapes:
+        symbols[::53] += rng.integers(1, 500, symbols[::53].shape[0])
+        symbols[::71] -= rng.integers(1, 500, symbols[::71].shape[0])
+        symbols[0] += 10**6  # deep bypass (many nibbles)
+        symbols[1] -= 10**6
+    return symbols, indexes
+
+
+class TestCdfQuantizer:
+    def test_properties(self):
+        rng = np.random.default_rng(1)
+        for _ in range(20):
+            n = int(rng.integers(2, 64))
+            p = rng.random(n) ** 3  # skewed, creates tiny probabilities
+            p = p / p.sum()
+            cdf = pmf_to_quantized_cdf(p)
+            assert cdf[0] == 0
+            assert cdf[-1] == 1 << 16
+            assert np.all(np.diff(cdf) >= 1)  # every symbol codeable
+
+    def test_native_matches_numpy(self):
+        if not native.available():
+            pytest.skip("native coder unavailable")
+        rng = np.random.default_rng(2)
+        for _ in range(20):
+            n = int(rng.integers(2, 64))
+            p = rng.random(n) ** 4
+            p = p / p.sum() * (1 - 1e-6)
+            p = np.concatenate([p, [1e-6]])
+            np.testing.assert_array_equal(
+                pmf_to_quantized_cdf(p), native.pmf_to_quantized_cdf(p)
+            )
+
+    def test_tiny_probability_stealing(self):
+        # one symbol with pmf mass 0 must still get frequency >= 1
+        p = np.array([0.5, 0.0, 0.5 - 1e-9, 1e-9])
+        cdf = pmf_to_quantized_cdf(p)
+        assert np.all(np.diff(cdf) >= 1)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("name", ["numpy", "rans", "rans_interleaved"])
+    def test_roundtrip(self, tables, name):
+        coder = get_coder(name)
+        cdf, cdf_lengths, offsets = tables
+        symbols, indexes = _random_payload(tables)
+        s = coder.encode_with_indexes(symbols, indexes, cdf, cdf_lengths, offsets)
+        out = coder.decode_with_indexes(s, indexes, cdf, cdf_lengths, offsets)
+        np.testing.assert_array_equal(out, symbols)
+
+    def test_native_bitstream_matches_spec(self, tables):
+        """C++ must be bit-identical to the NumPy executable spec."""
+        cdf, cdf_lengths, offsets = tables
+        symbols, indexes = _random_payload(tables, seed=3)
+        s_np = get_coder("numpy").encode_with_indexes(
+            symbols, indexes, cdf, cdf_lengths, offsets
+        )
+        s_cc = get_coder("rans").encode_with_indexes(
+            symbols, indexes, cdf, cdf_lengths, offsets
+        )
+        assert s_np == s_cc
+
+    def test_cross_decode(self, tables):
+        cdf, cdf_lengths, offsets = tables
+        symbols, indexes = _random_payload(tables, seed=4)
+        s = get_coder("numpy").encode_with_indexes(
+            symbols, indexes, cdf, cdf_lengths, offsets
+        )
+        out = get_coder("rans").decode_with_indexes(
+            s, indexes, cdf, cdf_lengths, offsets
+        )
+        np.testing.assert_array_equal(out, symbols)
+
+    def test_empty(self, tables):
+        cdf, cdf_lengths, offsets = tables
+        empty = np.zeros(0, np.int32)
+        for name in ["numpy", "rans"]:
+            coder = get_coder(name)
+            s = coder.encode_with_indexes(empty, empty, cdf, cdf_lengths, offsets)
+            out = coder.decode_with_indexes(s, empty, cdf, cdf_lengths, offsets)
+            assert out.shape == (0,)
+
+    def test_single_symbol(self, tables):
+        cdf, cdf_lengths, offsets = tables
+        symbols = np.array([offsets[0]], np.int32)
+        indexes = np.array([0], np.int32)
+        for name in ["numpy", "rans", "rans_interleaved"]:
+            coder = get_coder(name)
+            s = coder.encode_with_indexes(symbols, indexes, cdf, cdf_lengths, offsets)
+            out = coder.decode_with_indexes(s, indexes, cdf, cdf_lengths, offsets)
+            np.testing.assert_array_equal(out, symbols)
+
+    def test_stream_decoder_chunked(self, tables):
+        cdf, cdf_lengths, offsets = tables
+        symbols, indexes = _random_payload(tables, seed=5)
+        coder = get_coder("rans")
+        s = coder.encode_with_indexes(symbols, indexes, cdf, cdf_lengths, offsets)
+        dec = coder.make_stream_decoder(s)
+        parts = [
+            dec.decode(indexes[i : i + 333], cdf, cdf_lengths, offsets)
+            for i in range(0, len(indexes), 333)
+        ]
+        np.testing.assert_array_equal(np.concatenate(parts), symbols)
+
+    def test_extreme_symbols(self, tables):
+        """Adversarial escape values (decode-side fuzz the reference lacks)."""
+        cdf, cdf_lengths, offsets = tables
+        rng = np.random.default_rng(6)
+        indexes = rng.integers(0, cdf.shape[0], 64).astype(np.int32)
+        symbols = rng.integers(-(2**28), 2**28, 64).astype(np.int32)
+        for name in ["numpy", "rans", "rans_interleaved"]:
+            coder = get_coder(name)
+            s = coder.encode_with_indexes(symbols, indexes, cdf, cdf_lengths, offsets)
+            out = coder.decode_with_indexes(s, indexes, cdf, cdf_lengths, offsets)
+            np.testing.assert_array_equal(out, symbols)
