@@ -1,0 +1,44 @@
+from .base import CompressionModel
+from .priors import (
+    FactorizedPrior,
+    FactorizedPriorModule,
+    JointAutoregressiveHierarchicalPriors,
+    JointAutoregressiveModule,
+    MeanScaleHyperprior,
+    MeanScaleHyperpriorModule,
+    ScaleHyperprior,
+    ScaleHyperpriorModule,
+)
+from .waseda import Cheng2020Anchor, Cheng2020Attention
+from .stem import (
+    STEM_VARIANTS,
+    SpatioTemporalPriorModel,
+    SpatioTemporalPriorModelFull,
+    SpatioTemporalPriorModelWithoutSPM,
+    SpatioTemporalPriorModelWithoutSPMTPM,
+    SpatioTemporalPriorModelWithoutTPM,
+    SpatioTemporalPriorModel_Res,
+    STEMModule,
+)
+
+__all__ = [
+    "CompressionModel",
+    "FactorizedPrior",
+    "ScaleHyperprior",
+    "MeanScaleHyperprior",
+    "JointAutoregressiveHierarchicalPriors",
+    "Cheng2020Anchor",
+    "Cheng2020Attention",
+    "SpatioTemporalPriorModel",
+    "SpatioTemporalPriorModelWithoutSPMTPM",
+    "SpatioTemporalPriorModelWithoutSPM",
+    "SpatioTemporalPriorModelWithoutTPM",
+    "SpatioTemporalPriorModelFull",
+    "SpatioTemporalPriorModel_Res",
+    "STEM_VARIANTS",
+    "STEMModule",
+    "FactorizedPriorModule",
+    "ScaleHyperpriorModule",
+    "MeanScaleHyperpriorModule",
+    "JointAutoregressiveModule",
+]

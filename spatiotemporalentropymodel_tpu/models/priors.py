@@ -218,30 +218,48 @@ class MeanScaleHyperpriorModule(ScaleHyperpriorModule):
 
 class JointAutoregressiveModule(MeanScaleHyperpriorModule):
     """priors.py:406-694 (mbt2018) — + masked-conv context model and 1×1
-    entropy-parameters stack; h_a/h_s with k5s2 inner layers."""
+    entropy-parameters stack; h_a/h_s with k5s2 inner layers. Subclasses
+    (Cheng2020) override the ``_build_*`` factories instead of ``setup`` —
+    flax forbids rebinding a submodule name."""
 
-    def setup(self):
+    def _build_g_a(self):
         n, m = self.N, self.M
-        self.g_a = Sequential(
+        return Sequential(
             [Conv(n, 5, 2), GDN(n), Conv(n, 5, 2), GDN(n), Conv(n, 5, 2), GDN(n),
              Conv(m, 5, 2)],
             name="g_a",
         )
-        self.g_s = Sequential(
+
+    def _build_g_s(self):
+        n = self.N
+        return Sequential(
             [Deconv(n, 5, 2), GDN(n, inverse=True), Deconv(n, 5, 2),
              GDN(n, inverse=True), Deconv(n, 5, 2), GDN(n, inverse=True),
              Deconv(3, 5, 2)],
             name="g_s",
         )
-        self.h_a = Sequential(
+
+    def _build_h_a(self):
+        n = self.N
+        return Sequential(
             [Conv(n, 3, 1), _LeakyReLU(), Conv(n, 5, 2), _LeakyReLU(), Conv(n, 5, 2)],
             name="h_a",
         )
-        self.h_s = Sequential(
+
+    def _build_h_s(self):
+        m = self.M
+        return Sequential(
             [Deconv(m, 5, 2), _LeakyReLU(), Deconv(m * 3 // 2, 5, 2), _LeakyReLU(),
              Conv(m * 2, 3, 1)],
             name="h_s",
         )
+
+    def setup(self):
+        m = self.M
+        self.g_a = self._build_g_a()
+        self.g_s = self._build_g_s()
+        self.h_a = self._build_h_a()
+        self.h_s = self._build_h_s()
         self.entropy_parameters = Sequential(
             [Conv(m * 10 // 3, 1, 1), _LeakyReLU(), Conv(m * 8 // 3, 1, 1),
              _LeakyReLU(), Conv(m * 6 // 3, 1, 1)],

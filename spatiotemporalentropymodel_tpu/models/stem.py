@@ -70,13 +70,13 @@ class STEMModule(nn.Module):
         m = self.in_channels
         ebc = self.entropy_bottleneck_channels
 
-        # The two non-SPM variants use a fixed 256-wide HE tail
-        # (spatiotemporalpriors.py:44-49); the SPM variants end at ebc
-        # (:261-265, :531-535). Identical when ebc == 256 (the default).
-        he_out = 256 if self.variant in ("without_spm_tpm", "without_spm") else ebc
+        # The reference hard-codes a 256-wide HE tail in the two non-SPM
+        # variants (spatiotemporalpriors.py:44-49) — only consistent with the
+        # EntropyBottleneck when ebc == 256 (the default). We use ebc uniformly
+        # (:261-265, :531-535 do the same), identical at the default config.
         self.HE = Sequential(
             [Conv(256, 3, 1), _LeakyReLU(), Conv(256, 5, 2), _LeakyReLU(),
-             Conv(he_out, 5, 2)],
+             Conv(ebc, 5, 2)],
             name="HE",
         )
         self.HD = Sequential(

@@ -1,0 +1,146 @@
+"""Image-codec model tests (reference strategy: compressai_tests/test_models.py
++ test_codec.py round-trips, but with random weights and exact-symbol checks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spatiotemporalentropymodel_tpu.models import (
+    Cheng2020Anchor,
+    FactorizedPrior,
+    JointAutoregressiveHierarchicalPriors,
+    MeanScaleHyperprior,
+    ScaleHyperprior,
+)
+
+
+def _image(b=1, hw=64, seed=0):
+    return jax.random.uniform(jax.random.PRNGKey(seed), (b, hw, hw, 3))
+
+
+class TestForwardContracts:
+    def test_factorized(self):
+        m = FactorizedPrior(8, 12)
+        x = _image()
+        m.init(x)
+        out = m.forward(x)
+        assert out["x_hat"].shape == x.shape
+        assert out["likelihoods"]["y"].shape == (1, 4, 4, 12)
+
+    def test_scale_hyperprior(self):
+        m = ScaleHyperprior(8, 12)
+        x = _image()
+        m.init(x)
+        out = m.forward(x)
+        assert out["x_hat"].shape == x.shape
+        assert out["likelihoods"]["y"].shape == (1, 4, 4, 12)
+        assert out["likelihoods"]["z"].shape == (1, 1, 1, 8)
+
+    def test_mean_scale_hyperprior(self):
+        m = MeanScaleHyperprior(8, 12)
+        x = _image()
+        m.init(x)
+        out = m.forward(x)
+        assert set(out) >= {"y", "y_hat", "x_hat", "likelihoods"}
+        assert out["y_hat"].shape == (1, 4, 4, 12)
+
+    def test_joint_ar(self):
+        m = JointAutoregressiveHierarchicalPriors(8, 12)
+        x = _image()
+        m.init(x)
+        out = m.forward(x)
+        assert set(out) >= {"y", "y_hat", "x_hat", "likelihoods", "entropy_params"}
+        assert out["entropy_params"]["scales_hat"].shape == (1, 4, 4, 12)
+
+    def test_train_mode_noise(self):
+        m = MeanScaleHyperprior(8, 12)
+        x = _image()
+        m.init(x)
+        out = m.forward(x, train=True)
+        d = np.asarray(out["y_hat"]) - np.asarray(out["y"])
+        assert np.all(np.abs(d) <= 0.5) and d.std() > 0.05
+
+    def test_aux_loss(self):
+        m = MeanScaleHyperprior(8, 12)
+        m.init(_image())
+        assert float(m.aux_loss()) > 0
+
+
+class TestCodecRoundTrip:
+    def test_uninitialized_tables_raise(self):
+        m = FactorizedPrior(8, 12)
+        m.init(_image())
+        with pytest.raises(RuntimeError):
+            m.compress(_image())
+
+    def test_factorized_roundtrip(self):
+        m = FactorizedPrior(8, 12)
+        x = _image()
+        m.init(x)
+        m.update()
+        enc = m.compress(x)
+        assert len(enc["strings"]) == 1 and enc["shape"] == (4, 4)
+        dec = m.decompress(enc["strings"], enc["shape"])
+        assert dec["x_hat"].shape == x.shape
+        assert np.all(np.asarray(dec["x_hat"]) >= 0)
+        assert np.all(np.asarray(dec["x_hat"]) <= 1)
+
+    @pytest.mark.parametrize("cls", [ScaleHyperprior, MeanScaleHyperprior])
+    def test_hyperprior_roundtrip_lossless_latents(self, cls):
+        m = cls(8, 12)
+        x = _image(b=2)
+        m.init(x)
+        m.update()
+        enc = m.compress(x)
+        assert len(enc["strings"]) == 2
+        assert all(len(s) > 0 for s in enc["strings"][0])
+        dec = m.decompress(enc["strings"], enc["shape"])
+        assert dec["x_hat"].shape == x.shape
+        if cls is MeanScaleHyperprior:
+            # decoded y_hat must exactly equal the encoder-side quantization
+            y, z = m._jit_cache["analysis"](x)
+            z_hat = m._eb_quantize(z)
+            _, means, indexes = m._params_and_indexes()(jnp.asarray(z_hat))
+            expect = np.round(np.asarray(y) - np.asarray(means)) + np.asarray(means)
+            np.testing.assert_allclose(np.asarray(dec["y_hat"]), expect, atol=1e-5)
+
+    def test_update_idempotent_unless_forced(self):
+        m = MeanScaleHyperprior(8, 12)
+        m.init(_image())
+        assert m.update() is True
+        assert m.update() is False
+        assert m.update(force=True) is True
+
+    def test_state_dict_roundtrip(self):
+        m = MeanScaleHyperprior(8, 12)
+        x = _image()
+        m.init(x)
+        m.update()
+        enc = m.compress(x)
+
+        m2 = MeanScaleHyperprior(8, 12)
+        m2.load_state_dict(m.state_dict())
+        enc2 = m2.compress(x)
+        assert enc["strings"][0] == enc2["strings"][0]
+        assert enc["strings"][1] == enc2["strings"][1]
+
+
+@pytest.mark.slow
+class TestAutoregressiveCodec:
+    def test_joint_ar_roundtrip(self):
+        m = JointAutoregressiveHierarchicalPriors(8, 12)
+        x = _image(hw=64)
+        m.init(x)
+        m.update()
+        enc = m.compress(x)
+        dec = m.decompress(enc["strings"], enc["shape"])
+        assert dec["x_hat"].shape == x.shape
+        assert dec["y_hat"].shape == (1, 4, 4, 12)
+
+    def test_cheng2020_forward(self):
+        m = Cheng2020Anchor(16)
+        x = _image(hw=64)
+        m.init(x)
+        out = m.forward(x)
+        assert out["x_hat"].shape == x.shape

