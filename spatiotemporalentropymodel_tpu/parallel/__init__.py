@@ -1,0 +1,29 @@
+from .mesh import (
+    DATA_AXIS,
+    batch_sharded,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+from .train_step import (
+    TrainState,
+    data_parallel_step,
+    init_train_state,
+    make_image_train_step,
+    make_stem_train_step,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "make_mesh",
+    "replicated",
+    "batch_sharded",
+    "shard_batch",
+    "replicate",
+    "TrainState",
+    "init_train_state",
+    "make_image_train_step",
+    "make_stem_train_step",
+    "data_parallel_step",
+]
