@@ -1,0 +1,119 @@
+"""Model registry and quality configurations.
+
+Parity: compressai/zoo/__init__.py:17-24 (name → constructor) and
+compressai/zoo/image.py:131-215 (quality → (N, M) configs, loader). Pretrained
+S3 downloads are replaced by ``load_torch_checkpoint`` — a converter for
+locally provided torch ``.pth.tar`` files (this environment has no network
+egress; the converter is the parity oracle for reference weights).
+"""
+
+from typing import Optional
+
+from ..models import (
+    Cheng2020Anchor,
+    Cheng2020Attention,
+    FactorizedPrior,
+    JointAutoregressiveHierarchicalPriors,
+    MeanScaleHyperprior,
+    ScaleHyperprior,
+    SpatioTemporalPriorModel,
+)
+from .convert import KEY_MAPS, convert_state_dict, rename_key
+
+model_architectures = {
+    "bmshj2018-factorized": FactorizedPrior,
+    "bmshj2018-hyperprior": ScaleHyperprior,
+    "mbt2018-mean": MeanScaleHyperprior,
+    "mbt2018": JointAutoregressiveHierarchicalPriors,
+    "cheng2020-anchor": Cheng2020Anchor,
+    "cheng2020-attn": Cheng2020Attention,
+}
+
+# quality index → constructor args (zoo/image.py:131-188)
+cfgs = {
+    "bmshj2018-factorized": {q: (128, 192) for q in range(1, 6)}
+    | {q: (192, 320) for q in range(6, 9)},
+    "bmshj2018-hyperprior": {q: (128, 192) for q in range(1, 6)}
+    | {q: (192, 320) for q in range(6, 9)},
+    "mbt2018-mean": {q: (128, 192) for q in range(1, 5)}
+    | {q: (192, 320) for q in range(5, 9)},
+    "mbt2018": {q: (192, 192) for q in range(1, 5)}
+    | {q: (192, 320) for q in range(5, 9)},
+    "cheng2020-anchor": {q: (128,) for q in range(1, 4)}
+    | {q: (192,) for q in range(4, 7)},
+    "cheng2020-attn": {q: (128,) for q in range(1, 4)}
+    | {q: (192,) for q in range(4, 7)},
+}
+
+# STEM variants by reference class name (README parity)
+stem_models = {
+    "stpm_without_spm_tpm": lambda **kw: SpatioTemporalPriorModel(
+        variant="without_spm_tpm", **kw
+    ),
+    "stpm_without_spm": lambda **kw: SpatioTemporalPriorModel(
+        variant="without_spm", **kw
+    ),
+    "stpm_without_tpm": lambda **kw: SpatioTemporalPriorModel(
+        variant="without_tpm", **kw
+    ),
+    "stpm": lambda **kw: SpatioTemporalPriorModel(variant="full", **kw),
+    "stpm_res": lambda **kw: SpatioTemporalPriorModel(variant="res", **kw),
+}
+
+models = dict(model_architectures)
+
+
+def create_model(architecture: str, quality: int = 1, **kwargs):
+    """Instantiate a zoo model at a quality level (zoo/image.py:191-215,
+    without the pretrained download path)."""
+    if architecture not in model_architectures:
+        raise ValueError(f'Invalid architecture name "{architecture}"')
+    if quality not in cfgs[architecture]:
+        raise ValueError(f'Invalid quality value "{quality}"')
+    return model_architectures[architecture](*cfgs[architecture][quality], **kwargs)
+
+
+def load_torch_checkpoint(architecture: str, path: str, quality: int = 1,
+                          example_input=None):
+    """Build a model and fill its params from a torch ``.pth.tar`` checkpoint.
+
+    The checkpoint is read with ``torch.load`` (CPU); keys are normalized via
+    ``rename_key`` and tensors converted to the NHWC/HWIO layouts. Codec
+    tables are rebuilt with ``model.update(force=True)``.
+    """
+    import jax.numpy as jnp
+    import torch
+
+    state = torch.load(path, map_location="cpu")
+    if "state_dict" in state:
+        state = state["state_dict"]
+
+    model = create_model(architecture, quality)
+    if example_input is None:
+        import jax
+
+        example_input = jax.random.uniform(
+            jax.random.PRNGKey(0), (1, 64, 64, 3), jnp.float32
+        )
+    model.init(example_input)
+    key_map = KEY_MAPS.get(architecture)
+    if key_map is None:
+        raise NotImplementedError(
+            f"no checkpoint key map for architecture {architecture!r}"
+        )
+    model.params = convert_state_dict(state, model.params, key_map)
+    model.update(force=True)
+    return model
+
+
+__all__ = [
+    "models",
+    "model_architectures",
+    "stem_models",
+    "cfgs",
+    "create_model",
+    "load_torch_checkpoint",
+    "convert_state_dict",
+    "rename_key",
+    "KEY_MAPS",
+]
