@@ -13,6 +13,22 @@ import numpy as np
 from ..coders import get_coder
 from .tables import CodecTables
 
+# Symbols saturate to an int32-safe band before coding. The reference casts
+# round(x−μ) straight to int32 (entropy_models.py:148-150) and silently
+# corrupts the stream when an untrained/diverged model emits |values| ≥ 2³¹;
+# here both encoder and decoder see the same saturated integer, so the codec
+# stays self-consistent under any input.
+SYMBOL_MAX = 1 << 30
+
+
+def safe_symbols(values, means=None) -> np.ndarray:
+    """round(values − means) → NaN-cleared, saturated int32 symbols."""
+    v = np.asarray(values, np.float64)
+    if means is not None:
+        v = v - np.asarray(means, np.float64)
+    v = np.nan_to_num(np.round(v), nan=0.0, posinf=SYMBOL_MAX, neginf=-SYMBOL_MAX)
+    return np.clip(v, -SYMBOL_MAX, SYMBOL_MAX).astype(np.int32)
+
 
 def compress(
     symbols,
@@ -78,7 +94,7 @@ def bottleneck_compress(z, tables: CodecTables, coder=None) -> List[bytes]:
     """EB compress: symbols = round(z − median[c]) (entropy_models.py:461-464)."""
     z = np.asarray(z)
     medians = tables.medians[None, None, None, :]
-    symbols = np.round(z - medians).astype(np.int32)
+    symbols = safe_symbols(z, medians)
     idx = bottleneck_indexes(z.shape, z.shape[-1])
     return compress(symbols, idx, tables, coder)
 

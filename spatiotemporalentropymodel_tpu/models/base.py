@@ -144,19 +144,17 @@ class CompressionModel:
 
     def _eb_quantize(self, z, name="entropy_bottleneck"):
         """Encoder-side ẑ: identical to decode(encode(z)) by construction
-        (compress must replicate the decoder state — SURVEY §7 hard parts)."""
+        (compress must replicate the decoder state — SURVEY §7 hard parts).
+        Uses the same saturated-symbol path as the actual coder."""
         med = self.tables[name].medians[None, None, None, :]
-        return (np.round(np.asarray(z) - med) + med).astype(np.float32)
+        symbols = entropy_base.safe_symbols(np.asarray(z), med)
+        return (symbols + med).astype(np.float32)
 
     # ---- GC coding helpers -------------------------------------------------
 
     def _gc_compress(self, y, indexes, means=None):
         t = self.tables["gaussian_conditional"]
-        y = np.asarray(y)
-        if means is not None:
-            symbols = np.round(y - np.asarray(means)).astype(np.int32)
-        else:
-            symbols = np.round(y).astype(np.int32)
+        symbols = entropy_base.safe_symbols(np.asarray(y), means)
         return entropy_base.compress(symbols, np.asarray(indexes), t, self.coder)
 
     def _gc_decompress(self, strings, indexes, means=None):

@@ -27,3 +27,27 @@ def crop_to(x, size):
     """Crop an NHWC batch back to (H, W)."""
     h, w = size
     return x[:, :h, :w, :]
+
+
+def pad_centered(x, multiple: int = 64):
+    """Centered ×multiple padding (stem_roi getY / evalSTEM pad semantics,
+    compressai/models/stem_roi.py:144-160, stem/evalSTEM.py:41-52).
+
+    Returns (padded, pads) with pads = (top, bottom, left, right).
+    """
+    h, w = x.shape[1], x.shape[2]
+    new_h = (h + multiple - 1) // multiple * multiple
+    new_w = (w + multiple - 1) // multiple * multiple
+    top = (new_h - h) // 2
+    bottom = new_h - h - top
+    left = (new_w - w) // 2
+    right = new_w - w - left
+    padded = jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)))
+    return padded, (top, bottom, left, right)
+
+
+def crop_centered(x, pads):
+    """Inverse of :func:`pad_centered`."""
+    top, bottom, left, right = pads
+    h, w = x.shape[1], x.shape[2]
+    return x[:, top : h - bottom or None, left : w - right or None, :]
