@@ -129,6 +129,41 @@ def make_stem_train_step(
     return step
 
 
+def make_stem_frame_step(
+    module,
+    optimizers: OptimizerPair,
+) -> Callable:
+    """Single-P-frame train step with per-frame optimizer stepping — the
+    faithful trainSTEM recipe (trainSTEM.py:199-218: one grad step per frame,
+    stop-gradient carry). Returns (state, metrics, y_hat) so the caller loops
+    frames carrying y_hat.
+    """
+
+    def loss_fn(params, y_cur, y_cond, rng):
+        out = module.apply(
+            {"params": params},
+            y_cur,
+            jax.lax.stop_gradient(y_cond),
+            train=True,
+            rngs={"noise": rng},
+        )
+        losses = em_loss(out, y_cur)
+        return losses["loss"], (losses, out["y_hat"])
+
+    def aux_fn(params):
+        return module.apply({"params": params}, method="aux_loss")
+
+    def step(state: TrainState, y_cur, y_cond, rng):
+        (_, (metrics, y_hat)), g_main = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, y_cur, y_cond, rng)
+        aux, g_aux = jax.value_and_grad(aux_fn)(state.params)
+        metrics = dict(metrics, aux_loss=aux)
+        return _apply_both(optimizers, state, g_main, g_aux), metrics, y_hat
+
+    return step
+
+
 def data_parallel_step(step_fn: Callable, mesh) -> Callable:
     """Shard a (state, batch, rng) -> (state, metrics) step over the mesh:
     batch on the "data" axis, everything else replicated."""

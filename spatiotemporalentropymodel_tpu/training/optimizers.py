@@ -45,17 +45,35 @@ def configure_optimizers(
     trainSTEM grad clip (trainSTEM.py:213-214).
 
     Both transforms accept the FULL gradient pytree; masking zeroes the other
-    partition's updates, so a single train step can apply both.
+    partition's updates, so a single train step can apply both. The main Adam
+    is wrapped in ``inject_hyperparams`` so the learning rate is runtime state
+    (required by the plateau schedule — see :func:`set_main_learning_rate`).
     """
     main = optax.masked(
         optax.chain(
             optax.clip_by_global_norm(max_grad_norm),
-            optax.adam(learning_rate),
+            optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate),
         ),
         main_mask(params),
     )
     aux = optax.masked(optax.adam(aux_learning_rate), quantiles_mask(params))
     return OptimizerPair(main=main, aux=aux)
+
+
+def set_main_learning_rate(main_opt_state, learning_rate: float):
+    """Return a main-optimizer state with the injected Adam LR replaced."""
+    import jax.numpy as jnp
+
+    clip_state, inject_state = main_opt_state.inner_state
+    hp = dict(inject_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(learning_rate, jnp.float32)
+    inject_state = inject_state._replace(hyperparams=hp)
+    return main_opt_state._replace(inner_state=(clip_state, inject_state))
+
+
+def get_main_learning_rate(main_opt_state) -> float:
+    _, inject_state = main_opt_state.inner_state
+    return float(inject_state.hyperparams["learning_rate"])
 
 
 class ReduceLROnPlateau:
