@@ -3,6 +3,7 @@ from . import (
     codec,
     eval_model,
     eval_stem,
+    eval_stem_roi,
     find_close,
     plot,
     rd_data,

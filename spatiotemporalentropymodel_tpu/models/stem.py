@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..entropy import EntropyBottleneck, GaussianConditional, build_indexes
+from ..entropy import base as entropy_base
 from ..layers import Conv, Deconv, MaskedConv2d, Sequential, leaky_relu
 from ..ops.quantize import quantize_dequantize, quantize_noise
 from .base import CompressionModel
@@ -215,6 +216,12 @@ class SpatioTemporalPriorModel(CompressionModel):
         return self.module.residual
 
     # ---- parallel codec path ----------------------------------------------
+    #
+    # TPU-first design: ONE fused jit produces all integer planes the host
+    # coder needs — z symbols, y symbols, and uint8 CDF-row indexes — so a
+    # compress() costs a single device dispatch plus compact int transfers
+    # (the reference crosses the device boundary per tensor and converts to
+    # Python lists, entropy_models.py:222-231).
 
     def _params_indexes_fn(self):
         table = self.tables["gaussian_conditional"].scale_table
@@ -225,38 +232,94 @@ class SpatioTemporalPriorModel(CompressionModel):
 
         return self._jitted("entropy_params", fn)
 
+    def _fused_encode_fn(self):
+        table = self.tables["gaussian_conditional"].scale_table
+        medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
+                              jnp.float32)
+
+        lim = float(entropy_base.SYMBOL_MAX)
+
+        def fn(y_cur, y_cond):
+            z = self._apply(y_cur, y_cond, method="hyper_encode")
+            z_sym = jnp.clip(jnp.round(z - medians), -lim, lim).astype(jnp.int32)
+            z_hat = z_sym.astype(jnp.float32) + medians
+            scales, means = self._apply(z_hat, y_cond, method="entropy_params")
+            idx = build_indexes(scales, table).astype(jnp.uint8)
+            target = y_cur - y_cond if self.residual else y_cur
+            y_sym = jnp.clip(jnp.round(target - means), -lim, lim).astype(
+                jnp.int32
+            )
+            return z_sym, y_sym, idx
+
+        return self._jitted("fused_encode", fn)
+
+    def _fused_params_fn(self):
+        """(z_sym, y_cond) → (means, idx) for the decoder side."""
+        table = self.tables["gaussian_conditional"].scale_table
+        medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
+                              jnp.float32)
+
+        def fn(z_sym, y_cond):
+            z_hat = z_sym.astype(jnp.float32) + medians
+            scales, means = self._apply(z_hat, y_cond, method="entropy_params")
+            idx = build_indexes(scales, table).astype(jnp.uint8)
+            return means, idx
+
+        return self._jitted("fused_params", fn)
+
+    def _fused_reconstruct_fn(self):
+        def fn(y_sym, means, y_cond):
+            target_hat = y_sym.astype(jnp.float32) + means
+            return target_hat + y_cond if self.residual else target_hat
+
+        return self._jitted("fused_reconstruct", fn)
+
     def compress(self, y_cur, y_conditioned) -> Dict[str, Any]:
         self._require_tables()
-        z = self._jitted(
-            "hyper_encode", lambda a, b: self._apply(a, b, method="hyper_encode")
-        )(y_cur, y_conditioned)
-        z_strings = self._eb_compress(z)
-        z_hat = jnp.asarray(self._eb_quantize(z))
+        if self.use_spm:
+            z = self._jitted(
+                "hyper_encode",
+                lambda a, b: self._apply(a, b, method="hyper_encode"),
+            )(y_cur, y_conditioned)
+            z_strings = self._eb_compress(z)
+            z_hat = jnp.asarray(self._eb_quantize(z))
+            return self._compress_ar(y_cur, y_conditioned, z, z_hat, z_strings)
 
-        if not self.use_spm:
-            _, means, indexes = self._params_indexes_fn()(z_hat, y_conditioned)
-            target = (
-                np.asarray(y_cur) - np.asarray(y_conditioned)
-                if self.residual
-                else np.asarray(y_cur)
-            )
-            y_strings = self._gc_compress(target, indexes, means)
-            return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
-        return self._compress_ar(y_cur, y_conditioned, z, z_hat, z_strings)
+        z_sym, y_sym, idx = self._fused_encode_fn()(y_cur, y_conditioned)
+        z_sym, y_sym, idx = (np.asarray(z_sym), np.asarray(y_sym),
+                             np.asarray(idx, np.int32))
+        zt = self.tables["entropy_bottleneck"]
+        z_idx = entropy_base.bottleneck_indexes(z_sym.shape, zt.rows)
+        z_strings = entropy_base.compress(z_sym, z_idx, zt, self.coder)
+        y_strings = entropy_base.compress(
+            y_sym, idx, self.tables["gaussian_conditional"], self.coder
+        )
+        return {
+            "strings": [y_strings, z_strings],
+            "shape": tuple(z_sym.shape[1:3]),
+        }
 
     def decompress(self, strings, shape, y_conditioned) -> Dict[str, Any]:
         assert isinstance(strings, list) and len(strings) == 2
         self._require_tables()
-        z_hat = jnp.asarray(self._eb_decompress(strings[1], shape))
+        if self.use_spm:
+            z_hat = jnp.asarray(self._eb_decompress(strings[1], shape))
+            return self._decompress_ar(strings, z_hat, y_conditioned)
 
-        if not self.use_spm:
-            _, means, indexes = self._params_indexes_fn()(z_hat, y_conditioned)
-            target_hat = self._gc_decompress(strings[0], indexes, means)
-            y_hat = (
-                target_hat + np.asarray(y_conditioned) if self.residual else target_hat
-            )
-            return {"y_hat": jnp.asarray(y_hat)}
-        return self._decompress_ar(strings, z_hat, y_conditioned)
+        zt = self.tables["entropy_bottleneck"]
+        z_idx = entropy_base.bottleneck_indexes(
+            (len(strings[1]), *shape, zt.rows), zt.rows
+        )
+        z_sym = entropy_base.decompress(strings[1], z_idx, zt, self.coder)
+        means, idx = self._fused_params_fn()(jnp.asarray(z_sym), y_conditioned)
+        y_sym = entropy_base.decompress(
+            strings[0], np.asarray(idx, np.int32),
+            self.tables["gaussian_conditional"], self.coder,
+        )
+        y_hat = self._fused_reconstruct_fn()(
+            jnp.asarray(y_sym), means, y_conditioned
+        )
+        return {"y_hat": y_hat}
 
     # ---- serial AR codec path (SPM variants) -------------------------------
 
