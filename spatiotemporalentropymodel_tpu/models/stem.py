@@ -237,6 +237,8 @@ class SpatioTemporalPriorModel(CompressionModel):
         medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
                               jnp.float32)
 
+        from ..ops import pallas_kernels as pk
+
         lim = float(entropy_base.SYMBOL_MAX)
 
         def fn(y_cur, y_cond):
@@ -244,11 +246,9 @@ class SpatioTemporalPriorModel(CompressionModel):
             z_sym = jnp.clip(jnp.round(z - medians), -lim, lim).astype(jnp.int32)
             z_hat = z_sym.astype(jnp.float32) + medians
             scales, means = self._apply(z_hat, y_cond, method="entropy_params")
-            idx = build_indexes(scales, table).astype(jnp.uint8)
             target = y_cur - y_cond if self.residual else y_cur
-            y_sym = jnp.clip(jnp.round(target - means), -lim, lim).astype(
-                jnp.int32
-            )
+            # fused round/clip/searchsorted (Pallas on TPU)
+            y_sym, idx = pk.quantize_and_index(target, means, scales, table)
             return z_sym, y_sym, idx
 
         return self._jitted("fused_encode", fn)
