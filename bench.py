@@ -67,7 +67,10 @@ def main():
         med = jnp.asarray(stem.tables["entropy_bottleneck"].medians, jnp.float32)
         z_hat = jnp.round(z - med) + med
         scales, means = stem._apply(z_hat, y_cond, method="entropy_params")
-        sigma = jnp.clip(jnp.abs(scales), 0.11, 2.0)
+        # σ floored at the table bound and capped near production statistics
+        # (converged STEM models spend most mass near the σ floor; UVG runs at
+        # ~0.08-0.16 bpp, README.md:115-119)
+        sigma = jnp.clip(jnp.abs(scales), 0.11, 0.3)
         eps = jax.random.normal(key, means.shape, jnp.float32)
         y = means + sigma * eps
         return y_cond + y if stem.residual else y

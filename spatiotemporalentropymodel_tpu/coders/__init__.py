@@ -21,6 +21,7 @@ from . import _numpy_rans
 
 class NumpyCoder:
     name = "numpy"
+    supports_lut = False
 
     def encode_with_indexes(self, symbols, indexes, cdfs, cdf_lengths, offsets):
         cdfs = np.asarray(cdfs, dtype=np.int32)
@@ -32,7 +33,9 @@ class NumpyCoder:
             np.asarray(offsets, dtype=np.int32),
         )
 
-    def decode_with_indexes(self, data, indexes, cdfs, cdf_lengths, offsets):
+    def decode_with_indexes(self, data, indexes, cdfs, cdf_lengths, offsets,
+                            lut=None):
+        del lut  # reference spec path uses the searchsorted lookup
         cdfs = np.asarray(cdfs, dtype=np.int32)
         return _numpy_rans.decode_with_indexes(
             data,
@@ -61,6 +64,7 @@ class _NumpyStream:
 
 class NativeCoder:
     name = "rans"
+    supports_lut = True
 
     def __init__(self):
         from . import rans as _rans
@@ -72,10 +76,14 @@ class NativeCoder:
             symbols, indexes, cdfs, cdf_lengths, offsets
         )
 
-    def decode_with_indexes(self, data, indexes, cdfs, cdf_lengths, offsets):
+    def decode_with_indexes(self, data, indexes, cdfs, cdf_lengths, offsets,
+                            lut=None):
         return self._rans.decode_with_indexes(
-            data, indexes, cdfs, cdf_lengths, offsets
+            data, indexes, cdfs, cdf_lengths, offsets, lut
         )
+
+    def build_lut(self, cdfs, cdf_lengths):
+        return self._rans.build_lut(cdfs, cdf_lengths)
 
     def make_stream_decoder(self, data):
         return self._rans.StreamDecoder(data)
@@ -93,9 +101,10 @@ class InterleavedCoder(NativeCoder):
             symbols, indexes, cdfs, cdf_lengths, offsets, self.n_lanes
         )
 
-    def decode_with_indexes(self, data, indexes, cdfs, cdf_lengths, offsets):
+    def decode_with_indexes(self, data, indexes, cdfs, cdf_lengths, offsets,
+                            lut=None):
         return self._rans.decode_interleaved(
-            data, indexes, cdfs, cdf_lengths, offsets
+            data, indexes, cdfs, cdf_lengths, offsets, lut
         )
 
 

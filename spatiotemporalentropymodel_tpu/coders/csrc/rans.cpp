@@ -178,10 +178,12 @@ struct DecState {
   }
 };
 
+// lut: optional (rows, 1<<precision) int16 direct symbol-lookup table
+// (lut[row][cum_freq] = symbol index); falls back to binary search when null.
 void decode_lane(DecState& st, const int32_t* indexes, int64_t n,
                  const int32_t* cdfs, int32_t cols, const int32_t* cdf_sizes,
                  const int32_t* offsets, int64_t lane, int64_t stride,
-                 int32_t* out) {
+                 int32_t* out, const int16_t* lut = nullptr) {
   for (int64_t i = lane; i < n; i += stride) {
     const int32_t cdf_idx = indexes[i];
     const int32_t* cdf = cdfs + static_cast<int64_t>(cdf_idx) * cols;
@@ -189,10 +191,15 @@ void decode_lane(DecState& st, const int32_t* indexes, int64_t n,
     const int32_t max_value = size - 2;
 
     const uint32_t cum = static_cast<uint32_t>(st.x & ((1u << kPrecision) - 1));
-    // binary search: last s with cdf[s] <= cum (cdf strictly increasing)
-    const int32_t* it = std::upper_bound(cdf, cdf + size,
-                                         static_cast<int32_t>(cum));
-    int32_t value = static_cast<int32_t>(it - cdf) - 1;
+    int32_t value;
+    if (lut != nullptr) {
+      value = lut[(static_cast<int64_t>(cdf_idx) << kPrecision) + cum];
+    } else {
+      // binary search: last s with cdf[s] <= cum (cdf strictly increasing)
+      const int32_t* it = std::upper_bound(cdf, cdf + size,
+                                           static_cast<int32_t>(cum));
+      value = static_cast<int32_t>(it - cdf) - 1;
+    }
     st.advance(cdf[value], cdf[value + 1] - cdf[value]);
 
     if (value == max_value) {
@@ -294,6 +301,35 @@ int stem_decode_with_indexes(const uint8_t* data, int64_t nbytes,
   return 0;
 }
 
+int stem_decode_with_indexes_lut(const uint8_t* data, int64_t nbytes,
+                                 const int32_t* indexes, int64_t n,
+                                 const int32_t* cdfs, int32_t rows,
+                                 int32_t cols, const int32_t* cdf_sizes,
+                                 const int32_t* offsets, const int16_t* lut,
+                                 int32_t* out) {
+  (void)rows;
+  DecState st(data, nbytes);
+  decode_lane(st, indexes, n, cdfs, cols, cdf_sizes, offsets, 0, 1, out, lut);
+  return 0;
+}
+
+// Build the direct-lookup table: lut[row][cum] = symbol index with
+// cdf[sym] <= cum < cdf[sym+1]. One-time cost per table set.
+void stem_build_lut(const int32_t* cdfs, int32_t rows, int32_t cols,
+                    const int32_t* cdf_sizes, int16_t* lut /*rows<<16*/) {
+  const int64_t span = 1ll << kPrecision;
+  for (int32_t r = 0; r < rows; ++r) {
+    const int32_t* cdf = cdfs + static_cast<int64_t>(r) * cols;
+    int16_t* row = lut + static_cast<int64_t>(r) * span;
+    const int32_t size = cdf_sizes[r];
+    for (int32_t s = 0; s + 1 < size; ++s) {
+      for (int32_t c = cdf[s]; c < cdf[s + 1]; ++c) {
+        row[c] = static_cast<int16_t>(s);
+      }
+    }
+  }
+}
+
 // ---- stateful stream decoder (for autoregressive decode) -----------------
 
 struct StreamDec {
@@ -374,7 +410,7 @@ int stem_decode_interleaved(const uint8_t* data, int64_t nbytes,
                             const int32_t* indexes, int64_t n,
                             const int32_t* cdfs, int32_t rows, int32_t cols,
                             const int32_t* cdf_sizes, const int32_t* offsets,
-                            int32_t* out) {
+                            int32_t* out, const int16_t* lut) {
   (void)rows;
   if (nbytes < 4) return -1;
   uint32_t n_lanes = 0;
@@ -395,7 +431,7 @@ int stem_decode_interleaved(const uint8_t* data, int64_t nbytes,
   auto work = [&](uint32_t lane) {
     DecState st(data + starts[lane], lens[lane]);
     decode_lane(st, indexes, n, cdfs, cols, cdf_sizes, offsets, lane, n_lanes,
-                out);
+                out, lut);
   };
 
   const unsigned hw = std::thread::hardware_concurrency();

@@ -48,7 +48,19 @@ def _lib():
     lib.stem_decode_interleaved.restype = ctypes.c_int
     lib.stem_decode_interleaved.argtypes = [
         _u8p, ctypes.c_int64, _i32p, ctypes.c_int64, _i32p, ctypes.c_int32,
-        ctypes.c_int32, _i32p, _i32p, _i32p,
+        ctypes.c_int32, _i32p, _i32p, _i32p, ctypes.c_void_p,
+    ]
+
+    lib.stem_decode_with_indexes_lut.restype = ctypes.c_int
+    lib.stem_decode_with_indexes_lut.argtypes = [
+        _u8p, ctypes.c_int64, _i32p, ctypes.c_int64, _i32p, ctypes.c_int32,
+        ctypes.c_int32, _i32p, _i32p, ctypes.c_void_p, _i32p,
+    ]
+
+    lib.stem_build_lut.restype = None
+    lib.stem_build_lut.argtypes = [
+        _i32p, ctypes.c_int32, ctypes.c_int32, _i32p,
+        np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS"),
     ]
 
     lib.stem_dec_create.restype = ctypes.c_void_p
@@ -109,17 +121,33 @@ def encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets) -> bytes:
         cap = -rc  # retry with the exact required size
 
 
-def decode_with_indexes(data: bytes, indexes, cdfs, cdf_lengths, offsets):
+def build_lut(cdfs, cdf_lengths) -> np.ndarray:
+    """(rows, 2^16) int16 direct symbol-lookup table for O(1) decode."""
+    cdfs = _as_i32(cdfs)
+    lengths = _as_i32(cdf_lengths)
+    lut = np.zeros((cdfs.shape[0], 1 << 16), np.int16)
+    _lib().stem_build_lut(cdfs, cdfs.shape[0], cdfs.shape[1], lengths, lut)
+    return lut
+
+
+def decode_with_indexes(data: bytes, indexes, cdfs, cdf_lengths, offsets,
+                        lut=None):
     indexes = _as_i32(indexes).reshape(-1)
     cdfs = _as_i32(cdfs)
     lengths, offs = _as_i32(cdf_lengths), _as_i32(offsets)
     n = indexes.shape[0]
     out = np.empty(n, dtype=np.int32)
     buf = np.frombuffer(data, dtype=np.uint8)
-    rc = _lib().stem_decode_with_indexes(
-        buf, buf.shape[0], indexes, n, cdfs, cdfs.shape[0], cdfs.shape[1],
-        lengths, offs, out,
-    )
+    if lut is not None:
+        rc = _lib().stem_decode_with_indexes_lut(
+            buf, buf.shape[0], indexes, n, cdfs, cdfs.shape[0], cdfs.shape[1],
+            lengths, offs, lut.ctypes.data, out,
+        )
+    else:
+        rc = _lib().stem_decode_with_indexes(
+            buf, buf.shape[0], indexes, n, cdfs, cdfs.shape[0], cdfs.shape[1],
+            lengths, offs, out,
+        )
     if rc != 0:
         raise ValueError(f"rans decode failed (rc={rc})")
     return out
@@ -145,7 +173,8 @@ def encode_interleaved(
         cap = -rc
 
 
-def decode_interleaved(data: bytes, indexes, cdfs, cdf_lengths, offsets):
+def decode_interleaved(data: bytes, indexes, cdfs, cdf_lengths, offsets,
+                       lut=None):
     indexes = _as_i32(indexes).reshape(-1)
     cdfs = _as_i32(cdfs)
     lengths, offs = _as_i32(cdf_lengths), _as_i32(offsets)
@@ -154,7 +183,7 @@ def decode_interleaved(data: bytes, indexes, cdfs, cdf_lengths, offsets):
     buf = np.frombuffer(data, dtype=np.uint8)
     rc = _lib().stem_decode_interleaved(
         buf, buf.shape[0], indexes, n, cdfs, cdfs.shape[0], cdfs.shape[1],
-        lengths, offs, out,
+        lengths, offs, out, lut.ctypes.data if lut is not None else None,
     )
     if rc != 0:
         raise ValueError(f"interleaved rans decode failed (rc={rc})")

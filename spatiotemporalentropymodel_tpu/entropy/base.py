@@ -57,6 +57,19 @@ def compress(
     ]
 
 
+_lut_cache = {}
+
+
+def get_lut(tables: CodecTables, coder) -> Optional[np.ndarray]:
+    """Cached direct symbol-lookup table for O(1) decode (native coder)."""
+    if not getattr(coder, "supports_lut", False):
+        return None
+    key = id(tables.cdf)
+    if key not in _lut_cache:
+        _lut_cache[key] = coder.build_lut(tables.cdf, tables.cdf_length)
+    return _lut_cache[key]
+
+
 def decompress(
     strings: Sequence[bytes],
     indexes,
@@ -68,6 +81,7 @@ def decompress(
     indexes = np.asarray(indexes, np.int32)
     if len(strings) != indexes.shape[0]:
         raise ValueError("one string per batch element required")
+    lut = get_lut(tables, coder)
     out = np.empty(indexes.shape, np.int32)
     for i, s in enumerate(strings):
         out[i] = coder.decode_with_indexes(
@@ -76,6 +90,7 @@ def decompress(
             tables.cdf,
             tables.cdf_length,
             tables.offset,
+            lut=lut,
         ).reshape(indexes.shape[1:])
     return out
 

@@ -1,0 +1,154 @@
+"""Wavefront (anti-diagonal) scheduling for autoregressive SPM coding.
+
+The reference decodes masked-conv models pixel-by-pixel with a Python loop and
+per-pixel C++ calls (priors.py:558-684, spatiotemporalpriors.py:633-768) —
+H·W sequential host round-trips. For a 5×5 raster-causal mask, two pixels
+(h, w) and (h', w') are independent whenever |3h + w| == |3h' + w'|: the
+dependency set of (h, w) lies strictly below the line t = 3h + w. Scheduling
+by t gives T = 3(H−1) + W steps with up to ~min(H, W/3) pixels each:
+
+  * encode runs as ONE jitted `lax.scan` over wavefronts — zero host syncs;
+  * decode needs one host rANS call per wavefront (321 for a 1080p latent
+    instead of 8160 per-pixel calls), each decoding a whole wavefront batch.
+
+Bitstream symbol order is wavefront order (encoder and decoder agree); this is
+the framework's fast AR format, distinct from the reference's raster order.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy import build_indexes
+
+SPAN = 3  # wavefront slope for a 5x5 causal mask (offset 2)
+
+
+def wavefront_tables(h: int, w: int, span: int = SPAN):
+    """Static scheduling tables.
+
+    Returns (coords, valid): coords (T, L, 2) int32 pixel positions per
+    wavefront (padded with (h, w)=(0, 0)), valid (T, L) bool lane mask, where
+    T = span·(h−1) + w and L = max pixels per wavefront.
+    """
+    buckets = {}
+    for i in range(h):
+        for j in range(w):
+            buckets.setdefault(span * i + j, []).append((i, j))
+    T = span * (h - 1) + w
+    L = max(len(v) for v in buckets.values())
+    coords = np.zeros((T, L, 2), np.int32)
+    valid = np.zeros((T, L), bool)
+    for t in range(T):
+        pix = buckets.get(t, [])
+        for l, (i, j) in enumerate(pix):
+            coords[t, l] = (i, j)
+            valid[t, l] = True
+    return jnp.asarray(coords), jnp.asarray(valid)
+
+
+def _gather_crops(target_pad, coords):
+    """target_pad (B, H+4, W+4, C), coords (L, 2) → crops (B, L, 5, 5, C)."""
+
+    def one(c):
+        return jax.lax.dynamic_slice(
+            target_pad,
+            (0, c[0], c[1], 0),
+            (target_pad.shape[0], 5, 5, target_pad.shape[3]),
+        )
+
+    crops = jax.vmap(one)(coords)  # (L, B, 5, 5, C)
+    return jnp.moveaxis(crops, 0, 1)
+
+
+def _scatter_plane(plane, coords, valid, values, offset=(0, 0)):
+    """Write values (B, L, C) into plane at coords (+offset); invalid lanes
+    are redirected out of bounds and dropped."""
+    hh = jnp.where(valid, coords[:, 0] + offset[0], plane.shape[1] + 10)
+    ww = jnp.where(valid, coords[:, 1] + offset[1], plane.shape[2] + 10)
+    return plane.at[:, hh, ww, :].set(values, mode="drop")
+
+
+def make_wavefront_encoder(apply_ar_step, scale_table, in_channels: int):
+    """Build a jitted full-device wavefront encoder.
+
+    apply_ar_step: (crops (N,5,5,M), p_vec (N,1,1,P)) -> (scales, means) (N,M)
+    Returns fn(target (B,H,W,M), priors (B,H,W,P)) ->
+      (symbols (B,H,W,M) int32, indexes (B,H,W,M) int32) — filled in raster
+      positions; the host flattens them in wavefront order.
+    """
+
+    def encode(target, priors, coords, valid):
+        b, h, w, m = target.shape
+        target_pad = jnp.pad(target, ((0, 0), (2, 2), (2, 2), (0, 0)))
+        syms0 = jnp.zeros((b, h, w, m), jnp.int32)
+        idx0 = jnp.zeros((b, h, w, m), jnp.int32)
+
+        def step(carry, xs):
+            target_pad, syms, idxs = carry
+            c, v = xs  # (L, 2), (L,)
+            l = c.shape[0]
+            crops = _gather_crops(target_pad, c)  # (B, L, 5, 5, M)
+            pvec = priors[:, c[:, 0], c[:, 1], :]  # (B, L, P)
+            crops_f = crops.reshape(b * l, 5, 5, m)
+            pvec_f = pvec.reshape(b * l, 1, 1, -1)
+            scales, means = apply_ar_step(crops_f, pvec_f)
+            scales = scales.reshape(b, l, m)
+            means = means.reshape(b, l, m)
+            center = crops[:, :, 2, 2, :]  # (B, L, M)
+            sym = jnp.round(center - means).astype(jnp.int32)
+            quantized = sym.astype(jnp.float32) + means
+            idx = build_indexes(scales, scale_table).astype(jnp.int32)
+
+            target_pad = _scatter_plane(target_pad, c, v, quantized, (2, 2))
+            syms = _scatter_plane(syms, c, v, sym)
+            idxs = _scatter_plane(idxs, c, v, idx)
+            return (target_pad, syms, idxs), None
+
+        (target_pad, syms, idxs), _ = jax.lax.scan(
+            step, (target_pad, syms0, idx0), (coords, valid)
+        )
+        return syms, idxs, target_pad[:, 2:-2, 2:-2, :]
+
+    return jax.jit(encode)
+
+
+def make_wavefront_decode_step(apply_ar_step, scale_table):
+    """Jitted per-wavefront decode helpers.
+
+    params_step(target_pad, priors, coords) -> (means (B,L,M), idx (B,L,M))
+    write_step(target_pad, coords, valid, sym, means) -> target_pad
+    """
+
+    def params_step(target_pad, priors, coords):
+        b = target_pad.shape[0]
+        m = target_pad.shape[3]
+        crops = _gather_crops(target_pad, coords)
+        pvec = priors[:, coords[:, 0], coords[:, 1], :]
+        l = coords.shape[0]
+        scales, means = apply_ar_step(
+            crops.reshape(b * l, 5, 5, m), pvec.reshape(b * l, 1, 1, -1)
+        )
+        scales = scales.reshape(b, l, m)
+        means = means.reshape(b, l, m)
+        idx = build_indexes(scales, scale_table).astype(jnp.int32)
+        return means, idx
+
+    def write_step(target_pad, coords, valid, sym, means):
+        quantized = sym.astype(jnp.float32) + means
+        return _scatter_plane(target_pad, coords, valid, quantized, (2, 2))
+
+    return jax.jit(params_step), jax.jit(write_step)
+
+
+def flatten_wavefront(planes, coords, valid):
+    """Host-side: (B, H, W, M) planes → (B, N·M) arrays in wavefront order."""
+    planes = np.asarray(planes)
+    coords = np.asarray(coords)
+    valid = np.asarray(valid)
+    hh = coords[..., 0][valid]
+    ww = coords[..., 1][valid]
+    return planes[:, hh, ww, :].reshape(planes.shape[0], -1)

@@ -199,13 +199,20 @@ class SpatioTemporalPriorModel(CompressionModel):
         variant: str = "res",
         entropy_bottleneck_channels: int = 256,
         in_channels: int = 192,
+        ar_mode: str = "wavefront",
         **kw,
     ):
+        """ar_mode (SPM variants only): "wavefront" — parallel anti-diagonal
+        scheduling, one jitted encode scan + one host rANS call per wavefront
+        (the fast TPU format); "serial" — per-pixel raster loop matching the
+        reference's coding order (spatiotemporalpriors.py:633-768)."""
         super().__init__(
             STEMModule(variant, entropy_bottleneck_channels, in_channels), **kw
         )
         self.variant = variant
         self.in_channels = in_channels
+        self.ar_mode = ar_mode
+        self._wavefront_cache = {}
 
     @property
     def use_spm(self):
@@ -232,6 +239,12 @@ class SpatioTemporalPriorModel(CompressionModel):
 
         return self._jitted("entropy_params", fn)
 
+    # Fused fast path saturates symbols to int16 so a whole frame's coder
+    # input crosses the host boundary as ONE packed byte buffer
+    # ([y int16][z int16][idx u8]) — transfer latency dominates on remote
+    # hosts, and per-call overhead is ~tens of ms through a tunnel.
+    _I16_LIM = 32767.0
+
     def _fused_encode_fn(self):
         table = self.tables["gaussian_conditional"].scale_table
         medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
@@ -239,17 +252,23 @@ class SpatioTemporalPriorModel(CompressionModel):
 
         from ..ops import pallas_kernels as pk
 
-        lim = float(entropy_base.SYMBOL_MAX)
+        lim = self._I16_LIM
 
         def fn(y_cur, y_cond):
             z = self._apply(y_cur, y_cond, method="hyper_encode")
-            z_sym = jnp.clip(jnp.round(z - medians), -lim, lim).astype(jnp.int32)
+            z_sym = jnp.clip(jnp.round(z - medians), -lim, lim).astype(jnp.int16)
             z_hat = z_sym.astype(jnp.float32) + medians
             scales, means = self._apply(z_hat, y_cond, method="entropy_params")
             target = y_cur - y_cond if self.residual else y_cur
             # fused round/clip/searchsorted (Pallas on TPU)
             y_sym, idx = pk.quantize_and_index(target, means, scales, table)
-            return z_sym, y_sym, idx
+            y_sym = jnp.clip(y_sym, -lim, lim).astype(jnp.int16)
+            packed = jnp.concatenate([
+                jax.lax.bitcast_convert_type(y_sym, jnp.uint8).reshape(-1),
+                jax.lax.bitcast_convert_type(z_sym, jnp.uint8).reshape(-1),
+                idx.reshape(-1),
+            ])
+            return packed
 
         return self._jitted("fused_encode", fn)
 
@@ -283,27 +302,43 @@ class SpatioTemporalPriorModel(CompressionModel):
             )(y_cur, y_conditioned)
             z_strings = self._eb_compress(z)
             z_hat = jnp.asarray(self._eb_quantize(z))
+            if self.ar_mode == "wavefront":
+                return self._compress_wavefront(
+                    y_cur, y_conditioned, z, z_hat, z_strings
+                )
             return self._compress_ar(y_cur, y_conditioned, z, z_hat, z_strings)
 
-        z_sym, y_sym, idx = self._fused_encode_fn()(y_cur, y_conditioned)
-        z_sym, y_sym, idx = (np.asarray(z_sym), np.asarray(y_sym),
-                             np.asarray(idx, np.int32))
+        b, hgt, wid, m = jnp.shape(y_cur)
+        zh, zw = hgt // 4, wid // 4
         zt = self.tables["entropy_bottleneck"]
-        z_idx = entropy_base.bottleneck_indexes(z_sym.shape, zt.rows)
-        z_strings = entropy_base.compress(z_sym, z_idx, zt, self.coder)
-        y_strings = entropy_base.compress(
-            y_sym, idx, self.tables["gaussian_conditional"], self.coder
+        zc = zt.rows
+        packed = np.asarray(self._fused_encode_fn()(y_cur, y_conditioned))
+
+        ny = b * hgt * wid * m
+        nz = b * zh * zw * zc
+        y_sym = packed[: 2 * ny].view(np.int16).reshape(b, hgt, wid, m)
+        z_sym = packed[2 * ny : 2 * (ny + nz)].view(np.int16).reshape(
+            b, zh, zw, zc
         )
-        return {
-            "strings": [y_strings, z_strings],
-            "shape": tuple(z_sym.shape[1:3]),
-        }
+        idx = packed[2 * (ny + nz) :].reshape(b, hgt, wid, m).astype(np.int32)
+
+        z_idx = entropy_base.bottleneck_indexes(z_sym.shape, zc)
+        z_strings = entropy_base.compress(
+            z_sym.astype(np.int32), z_idx, zt, self.coder
+        )
+        y_strings = entropy_base.compress(
+            y_sym.astype(np.int32), idx,
+            self.tables["gaussian_conditional"], self.coder,
+        )
+        return {"strings": [y_strings, z_strings], "shape": (zh, zw)}
 
     def decompress(self, strings, shape, y_conditioned) -> Dict[str, Any]:
         assert isinstance(strings, list) and len(strings) == 2
         self._require_tables()
         if self.use_spm:
             z_hat = jnp.asarray(self._eb_decompress(strings[1], shape))
+            if self.ar_mode == "wavefront":
+                return self._decompress_wavefront(strings, z_hat, y_conditioned)
             return self._decompress_ar(strings, z_hat, y_conditioned)
 
         zt = self.tables["entropy_bottleneck"]
@@ -311,13 +346,102 @@ class SpatioTemporalPriorModel(CompressionModel):
             (len(strings[1]), *shape, zt.rows), zt.rows
         )
         z_sym = entropy_base.decompress(strings[1], z_idx, zt, self.coder)
-        means, idx = self._fused_params_fn()(jnp.asarray(z_sym), y_conditioned)
+        means, idx = self._fused_params_fn()(
+            jnp.asarray(z_sym.astype(np.int16)), y_conditioned
+        )
         y_sym = entropy_base.decompress(
             strings[0], np.asarray(idx, np.int32),
             self.tables["gaussian_conditional"], self.coder,
         )
+        # int16 upload: the fused encoder saturated symbols to int16
         y_hat = self._fused_reconstruct_fn()(
-            jnp.asarray(y_sym), means, y_conditioned
+            jnp.asarray(y_sym.astype(np.int16)), means, y_conditioned
+        )
+        return {"y_hat": y_hat}
+
+    # ---- wavefront AR codec path (SPM variants, fast format) ---------------
+
+    def _wavefront_setup(self, h: int, w: int):
+        from . import ar_wavefront as wf
+
+        key = (h, w)
+        if key not in self._wavefront_cache:
+            coords, valid = wf.wavefront_tables(h, w)
+            table = self.tables["gaussian_conditional"].scale_table
+
+            def apply_ar_step(crops, pvec):
+                return self._apply(crops, pvec, method="ar_step")
+
+            encoder = wf.make_wavefront_encoder(
+                apply_ar_step, table, self.in_channels
+            )
+            params_step, write_step = wf.make_wavefront_decode_step(
+                apply_ar_step, table
+            )
+            self._wavefront_cache[key] = (
+                coords, valid, encoder, params_step, write_step,
+            )
+        return self._wavefront_cache[key]
+
+    def _compress_wavefront(self, y_cur, y_conditioned, z, z_hat, z_strings):
+        from . import ar_wavefront as wf
+
+        priors = self._prior_feats_fn()(z_hat, y_conditioned)
+        target = (
+            jnp.asarray(y_cur) - jnp.asarray(y_conditioned)
+            if self.residual
+            else jnp.asarray(y_cur)
+        )
+        b, hgt, wid, m = target.shape
+        coords, valid, encoder, _, _ = self._wavefront_setup(hgt, wid)
+        syms, idxs, _ = encoder(target, priors, coords, valid)
+
+        sym_flat = wf.flatten_wavefront(syms, coords, valid)  # (B, N·M)
+        idx_flat = wf.flatten_wavefront(idxs, coords, valid)
+        t = self.tables["gaussian_conditional"]
+        y_strings = [
+            self.coder.encode_with_indexes(
+                sym_flat[i], idx_flat[i], t.cdf, t.cdf_length, t.offset
+            )
+            for i in range(b)
+        ]
+        return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
+
+    def _decompress_wavefront(self, strings, z_hat, y_conditioned):
+        priors = self._prior_feats_fn()(z_hat, y_conditioned)
+        b = z_hat.shape[0]
+        hgt, wid = z_hat.shape[1] * 4, z_hat.shape[2] * 4
+        m = self.in_channels
+        t = self.tables["gaussian_conditional"]
+        coords, valid, _, params_step, write_step = self._wavefront_setup(
+            hgt, wid
+        )
+        valid_np = np.asarray(valid)
+
+        decoders = [self.coder.make_stream_decoder(s) for s in strings[0]]
+        target_pad = jnp.zeros((b, hgt + 4, wid + 4, m), jnp.float32)
+        L = coords.shape[1]
+        for ti in range(coords.shape[0]):
+            c = coords[ti]
+            v = valid_np[ti]
+            n_valid = int(v.sum())
+            if n_valid == 0:
+                continue
+            means, idx = params_step(target_pad, priors, c)
+            idx_np = np.asarray(idx)  # (B, L, M)
+            sym = np.zeros((b, L, m), np.int32)
+            for i in range(b):
+                decoded = decoders[i].decode(
+                    idx_np[i, v].reshape(-1), t.cdf, t.cdf_length, t.offset
+                )
+                sym[i, v] = decoded.reshape(n_valid, m)
+            target_pad = write_step(
+                target_pad, c, valid[ti], jnp.asarray(sym), means
+            )
+
+        target_hat = target_pad[:, 2:-2, 2:-2, :]
+        y_hat = (
+            target_hat + jnp.asarray(y_conditioned) if self.residual else target_hat
         )
         return {"y_hat": y_hat}
 

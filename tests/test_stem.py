@@ -94,6 +94,59 @@ class TestCodec:
         # error of the residual/latent (bounded by prior means shift)
         assert np.isfinite(np.asarray(dec["y_hat"])).all()
 
+    @pytest.mark.slow
+    @pytest.mark.parametrize("variant", ["res", "full"])
+    def test_wavefront_matches_serial(self, variant):
+        """The wavefront scheduler must reproduce the serial AR decisions:
+        decoded latents identical, self-roundtrip exact."""
+        m_wf = SpatioTemporalPriorModel(
+            variant=variant, entropy_bottleneck_channels=EBC, in_channels=M,
+            ar_mode="wavefront",
+        )
+        y_cur, y_cond = _latents(hw=8)
+        m_wf.init(y_cur, y_cond)
+        m_wf.update()
+
+        m_serial = SpatioTemporalPriorModel(
+            variant=variant, entropy_bottleneck_channels=EBC, in_channels=M,
+            ar_mode="serial",
+        )
+        m_serial.params = m_wf.params
+        m_serial.tables = m_wf.tables
+
+        enc_wf = m_wf.compress(y_cur, y_cond)
+        dec_wf = m_wf.decompress(enc_wf["strings"], enc_wf["shape"], y_cond)
+
+        enc_s = m_serial.compress(y_cur, y_cond)
+        dec_s = m_serial.decompress(enc_s["strings"], enc_s["shape"], y_cond)
+
+        np.testing.assert_allclose(
+            np.asarray(dec_wf["y_hat"]), np.asarray(dec_s["y_hat"]), atol=1e-4
+        )
+        # compressed sizes should be near-identical (same symbols, new order)
+        len_wf = len(enc_wf["strings"][0][0])
+        len_s = len(enc_s["strings"][0][0])
+        assert abs(len_wf - len_s) <= max(16, 0.02 * len_s)
+
+    def test_wavefront_tables_dependencies(self):
+        """No pixel may share a wavefront with one of its mask-A deps."""
+        from spatiotemporalentropymodel_tpu.models.ar_wavefront import (
+            wavefront_tables,
+        )
+
+        coords, valid = wavefront_tables(6, 10)
+        coords, valid = np.asarray(coords), np.asarray(valid)
+        for t in range(coords.shape[0]):
+            pix = [tuple(c) for c, v in zip(coords[t], valid[t]) if v]
+            for (h1, w1) in pix:
+                for (h2, w2) in pix:
+                    if (h1, w1) == (h2, w2):
+                        continue
+                    # (h2,w2) must NOT be in the causal 5x5 window of (h1,w1)
+                    in_window = abs(h2 - h1) <= 2 and abs(w2 - w1) <= 2
+                    causal = (h2 < h1) or (h2 == h1 and w2 < w1)
+                    assert not (in_window and causal), ((h1, w1), (h2, w2))
+
     def test_bitstream_deterministic(self):
         m = _make("without_spm")
         y_cur, y_cond = _latents()

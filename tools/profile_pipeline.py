@@ -4,7 +4,11 @@ Separates: device transforms (fused encode / params / reconstruct / g_a / g_s),
 device→host transfers, and host rANS encode/decode — to direct the perf work.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
