@@ -147,3 +147,72 @@ def eval_rc(model_i, model_p, dataset, levels: Optional[List[float]] = None,
         model_i, model_p, dataset, [l * 100 for l in levels],
         entropy_estimation,
     )
+
+
+# ---------------------------------------------------------------------------
+# single-rate pixel-domain baseline (eval_stem_baseline.py parity)
+# ---------------------------------------------------------------------------
+
+
+def inference_p_baseline(model_p, x, x_conditioned,
+                         entropy_estimation=False) -> Dict:
+    """P-frame through stem_baseline(v2): image-in / image-out, no Qmap."""
+    x_padded, pads = pad_centered(jnp.asarray(x), 64)
+    num_pixels = x.shape[1] * x.shape[2]
+    fwd = model_p.forward(x_padded, x_conditioned)
+    bpp_est = float(estimate_bpp(fwd["likelihoods"], num_pixels))
+    if entropy_estimation:
+        x_hat, bpp = fwd["x_hat"], bpp_est
+    else:
+        enc = model_p.compress(x_padded, x_conditioned)
+        dec = model_p.decompress(enc["strings"], enc["shape"], x_conditioned)
+        x_hat = dec["x_hat"]
+        bpp = actual_bpp(enc["strings"], num_pixels)
+    x_hat_c = crop_centered(jnp.asarray(x_hat), pads)
+    return {
+        "x_hat": x_hat,
+        "psnr": float(psnr(jnp.asarray(x), x_hat_c)),
+        "ms-ssim": float(ms_ssim(jnp.asarray(x), x_hat_c)),
+        "bpp": bpp,
+        "estimate_bpp": bpp_est,
+    }
+
+
+def eval_baseline_sequence(model_i, model_p, sequence,
+                           entropy_estimation=False) -> Dict[str, float]:
+    """GOP sequence through (image codec, stem_baseline) with a
+    reconstruction carry (stem_roi/eval_stem_baseline.py:30-330 parity);
+    ``model_i`` is a plain image codec (no Qmap)."""
+    sums = {"psnr": 0.0, "ms-ssim": 0.0, "bpp": 0.0, "estimate_bpp": 0.0}
+    n = 0
+    x_conditioned = None
+    for frame in sequence:
+        x = frame.image[None]
+        if frame.is_intra or x_conditioned is None:
+            x_padded, pads = pad_centered(jnp.asarray(x), 64)
+            num_pixels = x.shape[1] * x.shape[2]
+            fwd = model_i.forward(x_padded)
+            bpp_est = float(estimate_bpp(fwd["likelihoods"], num_pixels))
+            if entropy_estimation:
+                x_hat, bpp = fwd["x_hat"], bpp_est
+            else:
+                enc = model_i.compress(x_padded)
+                dec = model_i.decompress(enc["strings"], enc["shape"])
+                x_hat = dec["x_hat"]
+                bpp = actual_bpp(enc["strings"], num_pixels)
+            x_hat_c = crop_centered(jnp.asarray(x_hat), pads)
+            out = {
+                "x_hat": x_hat,
+                "psnr": float(psnr(jnp.asarray(x), x_hat_c)),
+                "ms-ssim": float(ms_ssim(jnp.asarray(x), x_hat_c)),
+                "bpp": bpp,
+                "estimate_bpp": bpp_est,
+            }
+        else:
+            out = inference_p_baseline(model_p, x, x_conditioned,
+                                       entropy_estimation)
+        x_conditioned = out["x_hat"]
+        for k in sums:
+            sums[k] += out[k]
+        n += 1
+    return {k: v / max(n, 1) for k, v in sums.items()} | {"frames": n}

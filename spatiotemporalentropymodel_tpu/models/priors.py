@@ -441,13 +441,85 @@ class MeanScaleHyperprior(ScaleHyperprior):
 
 
 class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
-    """mbt2018 (priors.py:406-694). The serial AR codec runs as a host loop
-    over a single jitted per-pixel step (correctness path); the parallel
-    wavefront codec is the perf path (see models/ar_wavefront.py)."""
+    """mbt2018 (priors.py:406-694). ``ar_mode="wavefront"`` (default) codes
+    anti-diagonals in parallel (models/ar_wavefront.py): jitted encode scan
+    with zero host syncs, one host rANS call per wavefront on decode.
+    ``ar_mode="serial"`` is the reference's per-pixel raster order."""
 
-    def __init__(self, N: int = 192, M: int = 192, **kw):
+    def __init__(self, N: int = 192, M: int = 192, ar_mode: str = "wavefront",
+                 **kw):
         CompressionModel.__init__(self, JointAutoregressiveModule(N, M), **kw)
         self.N, self.M = N, M
+        self.ar_mode = ar_mode
+        self._wavefront_cache: Dict[Any, Any] = {}
+
+    # -- wavefront AR codec ---------------------------------------------------
+
+    def _wavefront_setup(self, h: int, w: int):
+        from . import ar_wavefront as wf
+
+        key = (h, w)
+        if key not in self._wavefront_cache:
+            coords, valid = wf.wavefront_tables(h, w)
+            table = self.tables["gaussian_conditional"].scale_table
+
+            def apply_ar_step(crops, pvec):
+                return self._apply(crops, pvec, method="ar_step")
+
+            encoder = wf.make_wavefront_encoder(apply_ar_step, table, self.M)
+            params_step, write_step = wf.make_wavefront_decode_step(
+                apply_ar_step, table
+            )
+            self._wavefront_cache[key] = (
+                coords, valid, encoder, params_step, write_step,
+            )
+        return self._wavefront_cache[key]
+
+    def _compress_wavefront(self, y, params, z, z_strings):
+        from . import ar_wavefront as wf
+
+        b, hgt, wid, _ = y.shape
+        coords, valid, encoder, _, _ = self._wavefront_setup(hgt, wid)
+        syms, idxs, _ = encoder(jnp.asarray(y), params, coords, valid)
+        sym_flat = wf.flatten_wavefront(syms, coords, valid)
+        idx_flat = wf.flatten_wavefront(idxs, coords, valid)
+        t = self.tables["gaussian_conditional"]
+        y_strings = [
+            self.coder.encode_with_indexes(
+                sym_flat[i], idx_flat[i], t.cdf, t.cdf_length, t.offset
+            )
+            for i in range(b)
+        ]
+        return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
+
+    def _decompress_wavefront(self, strings, params, hgt, wid):
+        b = params.shape[0]
+        m = self.M
+        t = self.tables["gaussian_conditional"]
+        coords, valid, _, params_step, write_step = self._wavefront_setup(
+            hgt, wid
+        )
+        valid_np = np.asarray(valid)
+        decoders = [self.coder.make_stream_decoder(s) for s in strings[0]]
+        y_hat_pad = jnp.zeros((b, hgt + 4, wid + 4, m), jnp.float32)
+        L = coords.shape[1]
+        for ti in range(coords.shape[0]):
+            v = valid_np[ti]
+            n_valid = int(v.sum())
+            if n_valid == 0:
+                continue
+            means, idx = params_step(y_hat_pad, params, coords[ti])
+            idx_np = np.asarray(idx)
+            sym = np.zeros((b, L, m), np.int32)
+            for i in range(b):
+                decoded = decoders[i].decode(
+                    idx_np[i, v].reshape(-1), t.cdf, t.cdf_length, t.offset
+                )
+                sym[i, v] = decoded.reshape(n_valid, m)
+            y_hat_pad = write_step(
+                y_hat_pad, coords[ti], valid[ti], jnp.asarray(sym), means
+            )
+        return y_hat_pad[:, 2:-2, 2:-2, :]
 
     # -- AR helpers ---------------------------------------------------------
 
@@ -487,6 +559,9 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
             "hyper_synthesis", lambda v: self._apply(v, method="hyper_synthesis")
         )(z_hat)
 
+        if self.ar_mode == "wavefront":
+            return self._compress_wavefront(y, params, z, z_strings)
+
         b, hgt, wid, m = y.shape
         y_hat_pad = jnp.pad(y, ((0, 0), (2, 2), (2, 2), (0, 0)))
         step = self._ar_step_fn()
@@ -522,6 +597,16 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
         params = self._jitted(
             "hyper_synthesis", lambda v: self._apply(v, method="hyper_synthesis")
         )(z_hat)
+
+        if self.ar_mode == "wavefront":
+            y_hat = self._decompress_wavefront(
+                strings, jnp.asarray(params), shape[0] * 4, shape[1] * 4
+            )
+            x_hat = self._jitted(
+                "synthesis",
+                lambda v: jnp.clip(self._apply(v, method="synthesis"), 0.0, 1.0),
+            )(y_hat)
+            return {"x_hat": x_hat, "y_hat": y_hat}
 
         b = z_hat.shape[0]
         hgt, wid = shape[0] * 4, shape[1] * 4

@@ -76,6 +76,23 @@ def get_main_learning_rate(main_opt_state) -> float:
     return float(inject_state.hyperparams["learning_rate"])
 
 
+class MovingAverage:
+    """Windowed running mean (root utils.py:77-94 parity; used by the joint
+    training recipes to smooth loss scales)."""
+
+    def __init__(self, size: int):
+        from collections import deque
+
+        self.queue = deque()
+        self.max_size = size
+
+    def next(self, val: float) -> float:
+        self.queue.append(val)
+        if len(self.queue) > self.max_size:
+            self.queue.popleft()
+        return float(sum(self.queue)) / len(self.queue)
+
+
 class ReduceLROnPlateau:
     """Host-side LR schedule mirroring torch.optim.lr_scheduler.ReduceLROnPlateau
     as used by trainSTEM.py:123 (mode='min', default patience/factor).

@@ -129,7 +129,7 @@ class TestCodecRoundTrip:
 @pytest.mark.slow
 class TestAutoregressiveCodec:
     def test_joint_ar_roundtrip(self):
-        m = JointAutoregressiveHierarchicalPriors(8, 12)
+        m = JointAutoregressiveHierarchicalPriors(8, 12, ar_mode="serial")
         x = _image(hw=64)
         m.init(x)
         m.update()
@@ -137,6 +137,25 @@ class TestAutoregressiveCodec:
         dec = m.decompress(enc["strings"], enc["shape"])
         assert dec["x_hat"].shape == x.shape
         assert dec["y_hat"].shape == (1, 4, 4, 12)
+
+    def test_joint_ar_wavefront_matches_serial(self):
+        m = JointAutoregressiveHierarchicalPriors(8, 12, ar_mode="wavefront")
+        x = _image(hw=64)
+        m.init(x)
+        m.update()
+
+        m_serial = JointAutoregressiveHierarchicalPriors(8, 12,
+                                                         ar_mode="serial")
+        m_serial.params = m.params
+        m_serial.tables = m.tables
+
+        enc_wf = m.compress(x)
+        dec_wf = m.decompress(enc_wf["strings"], enc_wf["shape"])
+        enc_s = m_serial.compress(x)
+        dec_s = m_serial.decompress(enc_s["strings"], enc_s["shape"])
+        np.testing.assert_allclose(
+            np.asarray(dec_wf["y_hat"]), np.asarray(dec_s["y_hat"]), atol=1e-4
+        )
 
     def test_cheng2020_forward(self):
         m = Cheng2020Anchor(16)
