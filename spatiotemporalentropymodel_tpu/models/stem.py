@@ -200,19 +200,32 @@ class SpatioTemporalPriorModel(CompressionModel):
         entropy_bottleneck_channels: int = 256,
         in_channels: int = 192,
         ar_mode: str = "wavefront",
+        compute_dtype=None,
         **kw,
     ):
         """ar_mode (SPM variants only): "wavefront" — parallel anti-diagonal
         scheduling, one jitted encode scan + one host rANS call per wavefront
         (the fast TPU format); "serial" — per-pixel raster loop matching the
-        reference's coding order (spatiotemporalpriors.py:633-768)."""
+        reference's coding order (spatiotemporalpriors.py:633-768).
+
+        compute_dtype: e.g. jnp.bfloat16 runs the codec-path transform convs
+        on the MXU at 2× throughput. Encoder and decoder evaluate the SAME
+        jitted entropy-parameter network, so the bitstream stays
+        self-consistent; only the RD point shifts marginally.
+        """
         super().__init__(
             STEMModule(variant, entropy_bottleneck_channels, in_channels), **kw
         )
         self.variant = variant
         self.in_channels = in_channels
         self.ar_mode = ar_mode
+        self.compute_dtype = compute_dtype
         self._wavefront_cache = {}
+
+    def _cast(self, x):
+        if self.compute_dtype is not None:
+            return jnp.asarray(x, self.compute_dtype)
+        return jnp.asarray(x)
 
     @property
     def use_spm(self):
@@ -255,11 +268,22 @@ class SpatioTemporalPriorModel(CompressionModel):
         lim = self._I16_LIM
 
         def fn(y_cur, y_cond):
-            z = self._apply(y_cur, y_cond, method="hyper_encode")
-            z_sym = jnp.clip(jnp.round(z - medians), -lim, lim).astype(jnp.int16)
-            z_hat = z_sym.astype(jnp.float32) + medians
-            scales, means = self._apply(z_hat, y_cond, method="entropy_params")
-            target = y_cur - y_cond if self.residual else y_cur
+            y_cur_c, y_cond_c = self._cast(y_cur), self._cast(y_cond)
+            z = self._apply(y_cur_c, y_cond_c, method="hyper_encode")
+            z32 = z.astype(jnp.float32)
+            z_sym = jnp.clip(jnp.round(z32 - medians), -lim, lim).astype(
+                jnp.int16
+            )
+            z_hat = self._cast(z_sym.astype(jnp.float32) + medians)
+            scales, means = self._apply(z_hat, y_cond_c, method="entropy_params")
+            scales = scales.astype(jnp.float32)
+            means = means.astype(jnp.float32)
+            target = (
+                jnp.asarray(y_cur, jnp.float32)
+                - jnp.asarray(y_cond, jnp.float32)
+                if self.residual
+                else jnp.asarray(y_cur, jnp.float32)
+            )
             # fused round/clip/searchsorted (Pallas on TPU)
             y_sym, idx = pk.quantize_and_index(target, means, scales, table)
             y_sym = jnp.clip(y_sym, -lim, lim).astype(jnp.int16)
@@ -279,8 +303,12 @@ class SpatioTemporalPriorModel(CompressionModel):
                               jnp.float32)
 
         def fn(z_sym, y_cond):
-            z_hat = z_sym.astype(jnp.float32) + medians
-            scales, means = self._apply(z_hat, y_cond, method="entropy_params")
+            z_hat = self._cast(z_sym.astype(jnp.float32) + medians)
+            scales, means = self._apply(
+                z_hat, self._cast(y_cond), method="entropy_params"
+            )
+            scales = scales.astype(jnp.float32)
+            means = means.astype(jnp.float32)
             idx = build_indexes(scales, table).astype(jnp.uint8)
             return means, idx
 
