@@ -107,7 +107,18 @@ def run_pipeline(batch: int) -> dict:
 def main():
     stem_tpu.set_entropy_coder("rans_interleaved")
 
-    results = {b: run_pipeline(b) for b in (1, 4)}
+    # remote-compile latency can be minutes per batch config; stay within a
+    # wall-clock budget (STEM_BENCH_BUDGET_S) by skipping larger batches when
+    # the first config already consumed most of it
+    import os
+
+    budget = float(os.environ.get("STEM_BENCH_BUDGET_S", 2700))
+    t_start = time.perf_counter()
+    results = {}
+    for b in (1, 4):
+        if results and (time.perf_counter() - t_start) > budget / 2:
+            break
+        results[b] = run_pipeline(b)
     best_b = max(results, key=lambda b: results[b]["fps"])
     fps = results[best_b]["fps"]
 

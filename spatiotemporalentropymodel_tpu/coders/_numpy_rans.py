@@ -61,6 +61,8 @@ class _ForwardReader:
         self._pos = 0
 
     def get(self) -> int:
+        if self._pos >= self._words.shape[0]:
+            return 0  # exhausted (corrupt stream) — same as the C++ reader
         w = int(self._words[self._pos])
         self._pos += 1
         return w

@@ -146,6 +146,22 @@ class TestRoundTrip:
         ]
         np.testing.assert_array_equal(np.concatenate(parts), symbols)
 
+    @pytest.mark.parametrize("name", ["numpy", "rans"])
+    def test_corrupted_stream_no_crash(self, tables, name):
+        """Decode-side fuzz (a gap in the reference's tests, SURVEY §4): a
+        corrupted/random stream must decode to *some* symbols without
+        crashing or hanging — never read out of bounds."""
+        cdf, cdf_lengths, offsets = tables
+        rng = np.random.default_rng(9)
+        indexes = rng.integers(0, cdf.shape[0], 500).astype(np.int32)
+        coder = get_coder(name)
+        for trial in range(5):
+            garbage = rng.integers(0, 256, 64 + 32 * trial, dtype=np.uint8)
+            out = coder.decode_with_indexes(
+                garbage.tobytes(), indexes, cdf, cdf_lengths, offsets
+            )
+            assert out.shape == (500,)
+
     def test_extreme_symbols(self, tables):
         """Adversarial escape values (decode-side fuzz the reference lacks)."""
         cdf, cdf_lengths, offsets = tables
