@@ -258,68 +258,64 @@ class SpatioTemporalPriorModel(CompressionModel):
     # hosts, and per-call overhead is ~tens of ms through a tunnel.
     _I16_LIM = 32767.0
 
-    def _fused_encode_fn(self):
+    def fused_encode_expr(self, y_cur, y_cond):
+        """Traceable whole-encode expression: (y_cur, y_cond) → packed byte
+        buffer [y int16][z int16][idx u8]. Composable into larger jits (see
+        eval/pipeline.py); ``compress`` jits it standalone."""
         table = self.tables["gaussian_conditional"].scale_table
         medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
                               jnp.float32)
-
         from ..ops import pallas_kernels as pk
 
         lim = self._I16_LIM
+        y_cur_c, y_cond_c = self._cast(y_cur), self._cast(y_cond)
+        z = self._apply(y_cur_c, y_cond_c, method="hyper_encode")
+        z32 = z.astype(jnp.float32)
+        z_sym = jnp.clip(jnp.round(z32 - medians), -lim, lim).astype(jnp.int16)
+        z_hat = self._cast(z_sym.astype(jnp.float32) + medians)
+        scales, means = self._apply(z_hat, y_cond_c, method="entropy_params")
+        scales = scales.astype(jnp.float32)
+        means = means.astype(jnp.float32)
+        target = (
+            jnp.asarray(y_cur, jnp.float32) - jnp.asarray(y_cond, jnp.float32)
+            if self.residual
+            else jnp.asarray(y_cur, jnp.float32)
+        )
+        # fused round/clip/searchsorted (Pallas on TPU)
+        y_sym, idx = pk.quantize_and_index(target, means, scales, table)
+        y_sym = jnp.clip(y_sym, -lim, lim).astype(jnp.int16)
+        return jnp.concatenate([
+            jax.lax.bitcast_convert_type(y_sym, jnp.uint8).reshape(-1),
+            jax.lax.bitcast_convert_type(z_sym, jnp.uint8).reshape(-1),
+            idx.reshape(-1),
+        ])
 
-        def fn(y_cur, y_cond):
-            y_cur_c, y_cond_c = self._cast(y_cur), self._cast(y_cond)
-            z = self._apply(y_cur_c, y_cond_c, method="hyper_encode")
-            z32 = z.astype(jnp.float32)
-            z_sym = jnp.clip(jnp.round(z32 - medians), -lim, lim).astype(
-                jnp.int16
-            )
-            z_hat = self._cast(z_sym.astype(jnp.float32) + medians)
-            scales, means = self._apply(z_hat, y_cond_c, method="entropy_params")
-            scales = scales.astype(jnp.float32)
-            means = means.astype(jnp.float32)
-            target = (
-                jnp.asarray(y_cur, jnp.float32)
-                - jnp.asarray(y_cond, jnp.float32)
-                if self.residual
-                else jnp.asarray(y_cur, jnp.float32)
-            )
-            # fused round/clip/searchsorted (Pallas on TPU)
-            y_sym, idx = pk.quantize_and_index(target, means, scales, table)
-            y_sym = jnp.clip(y_sym, -lim, lim).astype(jnp.int16)
-            packed = jnp.concatenate([
-                jax.lax.bitcast_convert_type(y_sym, jnp.uint8).reshape(-1),
-                jax.lax.bitcast_convert_type(z_sym, jnp.uint8).reshape(-1),
-                idx.reshape(-1),
-            ])
-            return packed
-
-        return self._jitted("fused_encode", fn)
-
-    def _fused_params_fn(self):
-        """(z_sym, y_cond) → (means, idx) for the decoder side."""
+    def fused_params_expr(self, z_sym, y_cond):
+        """Traceable decoder-side (z_sym, y_cond) → (means f32, idx u8)."""
         table = self.tables["gaussian_conditional"].scale_table
         medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
                               jnp.float32)
+        z_hat = self._cast(z_sym.astype(jnp.float32) + medians)
+        scales, means = self._apply(
+            z_hat, self._cast(y_cond), method="entropy_params"
+        )
+        scales = scales.astype(jnp.float32)
+        means = means.astype(jnp.float32)
+        idx = build_indexes(scales, table).astype(jnp.uint8)
+        return means, idx
 
-        def fn(z_sym, y_cond):
-            z_hat = self._cast(z_sym.astype(jnp.float32) + medians)
-            scales, means = self._apply(
-                z_hat, self._cast(y_cond), method="entropy_params"
-            )
-            scales = scales.astype(jnp.float32)
-            means = means.astype(jnp.float32)
-            idx = build_indexes(scales, table).astype(jnp.uint8)
-            return means, idx
+    def fused_reconstruct_expr(self, y_sym, means, y_cond):
+        target_hat = y_sym.astype(jnp.float32) + means
+        return target_hat + y_cond if self.residual else target_hat
 
-        return self._jitted("fused_params", fn)
+    def _fused_encode_fn(self):
+        return self._jitted("fused_encode", self.fused_encode_expr)
+
+    def _fused_params_fn(self):
+        return self._jitted("fused_params", self.fused_params_expr)
 
     def _fused_reconstruct_fn(self):
-        def fn(y_sym, means, y_cond):
-            target_hat = y_sym.astype(jnp.float32) + means
-            return target_hat + y_cond if self.residual else target_hat
-
-        return self._jitted("fused_reconstruct", fn)
+        return self._jitted("fused_reconstruct", self.fused_reconstruct_expr)
 
     def compress(self, y_cur, y_conditioned) -> Dict[str, Any]:
         self._require_tables()

@@ -1,0 +1,71 @@
+"""StemVideoPipeline tests: minimal-dispatch path must match the model APIs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spatiotemporalentropymodel_tpu.eval.pipeline import StemVideoPipeline
+from spatiotemporalentropymodel_tpu.models import (
+    MeanScaleHyperprior,
+    SpatioTemporalPriorModel,
+)
+
+EBC, M = 16, 12
+
+
+@pytest.fixture(scope="module")
+def setup():
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    imodel = MeanScaleHyperprior(8, M)
+    imodel.init(x)
+    stem = SpatioTemporalPriorModel(
+        variant="without_spm", entropy_bottleneck_channels=EBC, in_channels=M
+    )
+    d = jnp.zeros((1, 4, 4, M))
+    stem.init(d, d)
+    stem.update()
+    return x, imodel, stem
+
+
+def test_pipeline_matches_model_api(setup):
+    x, imodel, stem = setup
+    pipe = StemVideoPipeline(imodel, stem)
+    y_cond = pipe.analysis(x)
+
+    enc, y_cur = pipe.encode_frame(x, y_cond)
+    # the model-API compress over the same latents must give the same streams
+    ref = stem.compress(y_cur, y_cond)
+    assert enc["strings"][0] == ref["strings"][0]
+    assert enc["strings"][1] == ref["strings"][1]
+    assert enc["shape"] == ref["shape"]
+
+    x_hat, y_hat = pipe.decode_frame(enc["strings"], enc["shape"], y_cond)
+    ref_dec = stem.decompress(ref["strings"], ref["shape"], y_cond)
+    np.testing.assert_allclose(
+        np.asarray(y_hat), np.asarray(ref_dec["y_hat"]), atol=1e-5
+    )
+    assert x_hat.shape == x.shape
+    assert np.all(np.asarray(x_hat) >= 0) and np.all(np.asarray(x_hat) <= 1)
+
+
+def test_pipeline_gop_recurrence(setup):
+    x, imodel, stem = setup
+    pipe = StemVideoPipeline(imodel, stem)
+    y_cond = pipe.analysis(x)
+    for _ in range(3):  # carry across P-frames
+        enc, _ = pipe.encode_frame(x, y_cond)
+        _, y_cond = pipe.decode_frame(enc["strings"], enc["shape"], y_cond)
+    assert np.isfinite(np.asarray(y_cond)).all()
+
+
+def test_pipeline_rejects_spm_variant(setup):
+    x, imodel, _ = setup
+    spm = SpatioTemporalPriorModel(
+        variant="res", entropy_bottleneck_channels=EBC, in_channels=M
+    )
+    d = jnp.zeros((1, 4, 4, M))
+    spm.init(d, d)
+    spm.update()
+    with pytest.raises(ValueError):
+        StemVideoPipeline(imodel, spm)
