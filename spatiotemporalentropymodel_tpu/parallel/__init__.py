@@ -11,6 +11,7 @@ from .train_step import (
     data_parallel_step,
     init_train_state,
     make_image_train_step,
+    make_stem_eval_step,
     make_stem_frame_step,
     make_stem_train_step,
 )
@@ -26,5 +27,7 @@ __all__ = [
     "init_train_state",
     "make_image_train_step",
     "make_stem_train_step",
+    "make_stem_frame_step",
+    "make_stem_eval_step",
     "data_parallel_step",
 ]

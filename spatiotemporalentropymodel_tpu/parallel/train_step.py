@@ -129,6 +129,27 @@ def make_stem_train_step(
     return step
 
 
+def make_stem_eval_step(module) -> Callable:
+    """Deterministic eval loss over a latent sequence (validation loop of
+    trainSTEM.py:265-295): mean per-frame EM loss, dequantize quantization."""
+
+    def step(params, frames):
+        y_cond0 = frames[:, 0]
+        xs = jnp.moveaxis(frames[:, 1:], 1, 0)
+
+        def body(carry, y_cur):
+            out = module.apply(
+                {"params": params}, y_cur, carry, train=False
+            )
+            losses = em_loss(out, y_cur)
+            return out["y_hat"], losses["loss"]
+
+        _, losses = jax.lax.scan(body, y_cond0, xs)
+        return jnp.mean(losses)
+
+    return step
+
+
 def make_stem_frame_step(
     module,
     optimizers: OptimizerPair,

@@ -30,6 +30,7 @@ from ..parallel import (
     data_parallel_step,
     init_train_state,
     make_mesh,
+    make_stem_eval_step,
     make_stem_frame_step,
     make_stem_train_step,
     replicate,
@@ -129,8 +130,28 @@ def train_stem(config: TrainStemConfig, max_steps: Optional[int] = None):
         dataset = VimeoSepTuplet(config.data_root, True, config.cropsize,
                                  rng=pyrandom)
         batches = batch_iterator(dataset, config.batch_size, seed=config.seed)
+        eval_dataset = VimeoSepTuplet(config.data_root, False, config.cropsize)
+        eval_batches = lambda: batch_iterator(  # noqa: E731
+            eval_dataset, config.batch_size, shuffle=False, epochs=1
+        )
     else:
         batches = _synthetic_batches(config, config.seed)
+        eval_batches = lambda: iter(  # noqa: E731
+            [next(_synthetic_batches(config, config.seed + 10**6))]
+        )
+
+    eval_step = jax.jit(make_stem_eval_step(stem))
+
+    def validate(params, rng, max_batches: int = 4) -> float:
+        total, n = 0.0, 0
+        for eb in eval_batches():
+            if n >= max_batches:
+                break
+            rng, k = jax.random.split(rng)
+            lat = get_latents(i_model.params, jnp.asarray(np.asarray(eb)), k)
+            total += float(eval_step(params, lat))
+            n += 1
+        return total / max(n, 1)
 
     logger = MetricsLogger(config.workdir)
     ckpt = CheckpointManager(os.path.join(config.workdir, "ckpt"), "stem")
@@ -175,7 +196,9 @@ def train_stem(config: TrainStemConfig, max_steps: Optional[int] = None):
         if iteration % 100 == 0:
             logger.log(iteration, **{k: float(v) for k, v in metrics.items()})
         if iteration % max(1, config.eval_every) == 0 or iteration >= total:
-            loss = float(metrics.get("loss", np.inf))
+            rng, k_eval = jax.random.split(rng)
+            loss = validate(state.params, k_eval)
+            logger.log(iteration, eval_loss=loss)
             scale = scheduler.step(loss)
             state = state._replace(
                 main_opt_state=set_main_learning_rate(

@@ -50,6 +50,42 @@ def _random_payload(tables, n=2500, escapes=True, seed=0):
     return symbols, indexes
 
 
+class TestGoldenBitstream:
+    """Frozen wire-format fixtures: any byte change here is a format break
+    (the single-stream format is the reference-compatible one)."""
+
+    PMF = np.array([0.2, 0.5, 0.2, 0.1 - 1e-4, 1e-4])
+    GOLDEN_CDF = [0, 13107, 45875, 58982, 65529, 65536]
+    SYMBOLS = np.array([0, -2, 1, 1, 0, 2, -1, 1, 5, -7, 0, 1], np.int32)
+    GOLDEN_STREAM = bytes.fromhex("e7bd573085770400902fdbe7a6ff0f8f")
+
+    def _tables(self):
+        cdfs = np.asarray([self.GOLDEN_CDF], np.int32)
+        return cdfs, np.array([6], np.int32), np.array([-2], np.int32)
+
+    def test_cdf_quantizer_frozen(self):
+        np.testing.assert_array_equal(
+            pmf_to_quantized_cdf(self.PMF), self.GOLDEN_CDF
+        )
+
+    @pytest.mark.parametrize("name", ["numpy", "rans"])
+    def test_stream_bytes_frozen(self, name):
+        cdfs, lengths, offsets = self._tables()
+        indexes = np.zeros(len(self.SYMBOLS), np.int32)
+        s = get_coder(name).encode_with_indexes(
+            self.SYMBOLS, indexes, cdfs, lengths, offsets
+        )
+        assert s == self.GOLDEN_STREAM
+
+    def test_golden_decodes(self):
+        cdfs, lengths, offsets = self._tables()
+        indexes = np.zeros(len(self.SYMBOLS), np.int32)
+        out = get_coder("rans").decode_with_indexes(
+            self.GOLDEN_STREAM, indexes, cdfs, lengths, offsets
+        )
+        np.testing.assert_array_equal(out, self.SYMBOLS)
+
+
 class TestCdfQuantizer:
     def test_properties(self):
         rng = np.random.default_rng(1)
