@@ -51,3 +51,15 @@ def set_entropy_coder(name: str) -> None:
 def get_entropy_coder() -> str:
     """Return the current default entropy coder name."""
     return _entropy_coder
+
+
+def __getattr__(name):
+    """Lazy top-level access to the subpackages (keeps bare import light)."""
+    import importlib
+
+    if name in (
+        "models", "entropy", "layers", "ops", "coders", "zoo", "data",
+        "parallel", "training", "eval", "utils",
+    ):
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -111,6 +111,35 @@ class TestTrainLoops:
         assert os.path.exists(os.path.join(str(tmp_path), "ckpt",
                                            "stem_latest.pkl"))
 
+    def test_train_stem_resume(self, tmp_path):
+        """Interrupted training must resume from the latest checkpoint with
+        the iteration counter and optimizer state intact."""
+        import spatiotemporalentropymodel_tpu.training.train_stem as ts
+        from spatiotemporalentropymodel_tpu.models import MeanScaleHyperprior
+        from spatiotemporalentropymodel_tpu.training.train_stem import train_stem
+
+        cfg = TrainStemConfig(
+            variant="without_spm", in_channels=8,
+            entropy_bottleneck_channels=8, cropsize=64, batch_size=1,
+            eval_every=2, workdir=str(tmp_path), step_mode="per_sequence",
+        )
+
+        def tiny_i_model(config):
+            m = MeanScaleHyperprior(8, 8)
+            m.init(jnp.zeros((1, config.cropsize, config.cropsize, 3)))
+            return m
+
+        orig = ts.build_i_model
+        ts.build_i_model = tiny_i_model
+        try:
+            state1, _ = train_stem(cfg, max_steps=2)
+            cfg2 = TrainStemConfig(**{**cfg.__dict__, "resume": True})
+            state2, _ = train_stem(cfg2, max_steps=4)
+        finally:
+            ts.build_i_model = orig
+        assert int(state1.step) == 2
+        assert int(state2.step) == 4  # continued from 2, ran 2 more
+
     def test_train_stem_roi_smoke(self, tmp_path):
         from spatiotemporalentropymodel_tpu.training.train_stem_roi import (
             train_stem_roi,
