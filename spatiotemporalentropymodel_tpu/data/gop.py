@@ -10,7 +10,7 @@ frame (1-indexed: frame_idx % gop == 1).
 import os
 import re
 from dataclasses import dataclass
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, Optional
 
 import numpy as np
 

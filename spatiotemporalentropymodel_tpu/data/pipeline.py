@@ -7,7 +7,7 @@ overlaps device compute (SURVEY.md §7 step 7).
 
 import queue
 import threading
-from typing import Callable, Iterable, Iterator, Optional, Sequence
+from typing import Callable, Iterable, Iterator, Optional
 
 import numpy as np
 

@@ -9,7 +9,7 @@ Torch DataLoader is replaced by a NumPy batcher with on-device prefetch
 
 import os
 import random
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

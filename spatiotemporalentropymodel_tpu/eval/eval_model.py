@@ -7,10 +7,9 @@ JSON results consumed by the plot CLI.
 
 import argparse
 import json
-import math
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax.numpy as jnp
 import numpy as np

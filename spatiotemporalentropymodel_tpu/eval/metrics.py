@@ -7,7 +7,6 @@ standard 5-scale weights) so the whole metric pipeline stays on-device.
 """
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

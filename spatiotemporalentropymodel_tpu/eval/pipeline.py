@@ -13,7 +13,7 @@ versus five-plus when calling the generic model APIs. The conditioning latent
 stays device-resident across frames (GOP recurrence, stem/evalSTEM.py:93-153).
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,9 +15,6 @@ Bitstream symbol order is wavefront order (encoder and decoder agree); this is
 the framework's fast AR format, distinct from the reference's raster order.
 """
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,8 +15,7 @@ Everything device-side is jitted with static shapes; the host side only runs
 the rANS coder and orchestration.
 """
 
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

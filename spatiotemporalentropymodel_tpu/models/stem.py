@@ -24,7 +24,7 @@ All NHWC; inputs are latents (B, H, W, M) with M=192, EB channels 256 by
 default. Training noise via the "noise" RNG stream.
 """
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

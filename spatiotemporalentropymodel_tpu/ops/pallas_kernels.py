@@ -16,7 +16,6 @@ kernels in interpreter mode for parity).
 """
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ compressai_examples/train.py:119-175) with pure jitted steps:
     and params replicated — GSPMD inserts the gradient psums.
 """
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ main Adam trains everything else. Implemented as two optax.masked transforms
 over one param pytree — functional, shardable, no parameter-set surgery.
 """
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import optax

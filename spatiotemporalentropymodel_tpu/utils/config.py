@@ -9,7 +9,7 @@ of these.
 import argparse
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Optional
 
 
 def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:

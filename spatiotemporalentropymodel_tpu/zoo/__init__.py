@@ -7,8 +7,6 @@ locally provided torch ``.pth.tar`` files (this environment has no network
 egress; the converter is the parity oracle for reference weights).
 """
 
-from typing import Optional
-
 from ..models import (
     Cheng2020Anchor,
     Cheng2020Attention,
