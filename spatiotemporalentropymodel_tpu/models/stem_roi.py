@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..entropy import EntropyBottleneck, GaussianConditional, build_indexes
+from ..entropy import base as entropy_base
 from ..layers import (
     GDN,
     SFT,
@@ -420,9 +421,17 @@ class StemROIModule(nn.Module):
 
 
 class _PixelCodecBase(CompressionModel):
-    """Shared parallel codec path over (y_cur, y_cond, z) encoders."""
+    """Shared parallel codec path over (y_cur, y_cond, z) encoders.
+
+    Same fused single-dispatch design as the latent-domain STEM codec
+    (models/stem.py): one jit emits the packed [y int16][z int16][idx u8]
+    byte buffer per compress; decode runs two dispatches (params;
+    reconstruct + synthesis). Symbols saturate to int16 on this fast path.
+    """
 
     has_gaussian = True
+    _I16_LIM = 32767.0
+    _synthesis_needs_z = False
 
     def _params_indexes_fn(self):
         table = self.tables["gaussian_conditional"].scale_table
@@ -433,20 +442,115 @@ class _PixelCodecBase(CompressionModel):
 
         return self._jitted("entropy_params", fn)
 
-    def _codec_encode(self, *model_args):
-        self._require_tables()
-        y_cur, y_cond, z = self._jitted(
-            "encode_latents",
-            lambda *a: self._apply(*a, method="encode_latents"),
-        )(*model_args)
-        z_strings = self._eb_compress(z)
-        z_hat = jnp.asarray(self._eb_quantize(z))
-        _, means, indexes = self._params_indexes_fn()(z_hat, y_cond)
-        y_strings = self._gc_compress(y_cur, indexes, means)
-        return (
-            {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])},
-            z_hat,
+    def _fused_encode_fn(self):
+        table = self.tables["gaussian_conditional"].scale_table
+        medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
+                              jnp.float32)
+        from ..ops import pallas_kernels as pk
+
+        lim = self._I16_LIM
+
+        def fn(*model_args):
+            y_cur, y_cond_lat, z = self._apply(
+                *model_args, method="encode_latents"
+            )
+            z_sym = jnp.clip(
+                jnp.round(z.astype(jnp.float32) - medians), -lim, lim
+            ).astype(jnp.int16)
+            z_hat = z_sym.astype(jnp.float32) + medians
+            scales, means = self._apply(
+                z_hat, y_cond_lat, method="entropy_params"
+            )
+            y_sym, idx = pk.quantize_and_index(
+                y_cur.astype(jnp.float32), means.astype(jnp.float32),
+                scales.astype(jnp.float32), table,
+            )
+            y_sym = jnp.clip(y_sym, -lim, lim).astype(jnp.int16)
+            return jnp.concatenate([
+                jax.lax.bitcast_convert_type(y_sym, jnp.uint8).reshape(-1),
+                jax.lax.bitcast_convert_type(z_sym, jnp.uint8).reshape(-1),
+                idx.reshape(-1),
+            ])
+
+        return self._jitted("fused_encode", fn)
+
+    def _fused_params_fn(self):
+        table = self.tables["gaussian_conditional"].scale_table
+        medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
+                              jnp.float32)
+
+        def fn(z_sym, y_cond_lat):
+            z_hat = z_sym.astype(jnp.float32) + medians
+            scales, means = self._apply(
+                z_hat, y_cond_lat, method="entropy_params"
+            )
+            idx = build_indexes(
+                scales.astype(jnp.float32), table
+            ).astype(jnp.uint8)
+            return means.astype(jnp.float32), idx
+
+        return self._jitted("fused_params", fn)
+
+    def _fused_finish_fn(self):
+        medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
+                              jnp.float32)
+        needs_z = self._synthesis_needs_z
+
+        def fn(y_sym, means, z_sym):
+            y_hat = y_sym.astype(jnp.float32) + means
+            if needs_z:
+                z_hat = z_sym.astype(jnp.float32) + medians
+                x_hat = self._apply(y_hat, z_hat, method="synthesis")
+            else:
+                x_hat = self._apply(y_hat, method="synthesis")
+            return y_hat, x_hat
+
+        return self._jitted("fused_finish", fn)
+
+    def _latent_shapes(self, x_shape):
+        b, h, w = x_shape[0], x_shape[1], x_shape[2]
+        yh, yw = h // 16, w // 16
+        return (b, yh, yw, self.in_channels), (
+            b, yh // 4, yw // 4, self.tables["entropy_bottleneck"].rows
         )
+
+    def _codec_encode(self, x_cur, *rest):
+        self._require_tables()
+        y_shape, z_shape = self._latent_shapes(jnp.shape(x_cur))
+        packed = self._fused_encode_fn()(x_cur, *rest)
+        y_sym, z_sym, idx = entropy_base.unpack_symbol_buffer(
+            packed, y_shape, z_shape
+        )
+        zt = self.tables["entropy_bottleneck"]
+        z_idx = entropy_base.bottleneck_indexes(z_shape, zt.rows)
+        z_strings = entropy_base.compress(
+            z_sym.astype(np.int32), z_idx, zt, self.coder
+        )
+        y_strings = entropy_base.compress(
+            y_sym.astype(np.int32), idx,
+            self.tables["gaussian_conditional"], self.coder,
+        )
+        return {
+            "strings": [y_strings, z_strings],
+            "shape": tuple(z_shape[1:3]),
+        }
+
+    def _codec_decode(self, strings, shape, y_cond_lat):
+        zt = self.tables["entropy_bottleneck"]
+        z_idx = entropy_base.bottleneck_indexes(
+            (len(strings[1]), *shape, zt.rows), zt.rows
+        )
+        z_sym = entropy_base.decompress(strings[1], z_idx, zt, self.coder)
+        z_sym_dev = jnp.asarray(z_sym.astype(np.int16))
+        means, idx = self._fused_params_fn()(z_sym_dev, y_cond_lat)
+        y_sym = entropy_base.decompress(
+            strings[0], np.asarray(idx, np.int32),
+            self.tables["gaussian_conditional"], self.coder,
+        )
+        y_hat, x_hat = self._fused_finish_fn()(
+            jnp.asarray(y_sym.astype(np.int16)), means, z_sym_dev
+        )
+        return y_hat, x_hat, means
 
 
 class StemBaseline(_PixelCodecBase):
@@ -464,25 +568,19 @@ class StemBaseline(_PixelCodecBase):
         self.in_channels = in_channels
 
     def compress(self, x_cur, x_conditioned) -> Dict[str, Any]:
-        enc, _ = self._codec_encode(x_cur, x_conditioned)
-        return enc
+        return self._codec_encode(x_cur, x_conditioned)
 
     def decompress(self, strings, shape, x_conditioned) -> Dict[str, Any]:
         assert isinstance(strings, list) and len(strings) == 2
         self._require_tables()
-        z_hat = jnp.asarray(self._eb_decompress(strings[1], shape))
         y_cond = self._jitted(
             "cond_latent", lambda a: self._apply(a, method="cond_latent")
         )(x_conditioned)
-        scales, means, indexes = self._params_indexes_fn()(z_hat, y_cond)
-        y_hat = jnp.asarray(self._gc_decompress(strings[0], indexes, means))
-        x_hat = self._jitted(
-            "synthesis", lambda a: self._apply(a, method="synthesis")
-        )(y_hat)
+        y_hat, x_hat, means = self._codec_decode(strings, shape, y_cond)
         return {
             "x_hat": x_hat,
             "y_hat": y_hat,
-            "entropy_params": {"scales_hat": scales, "means_hat": means},
+            "entropy_params": {"means_hat": means},
         }
 
     def get_y(self, x, is_eval: bool = False):
@@ -516,30 +614,27 @@ class StemROI(_PixelCodecBase):
         self.conditional = conditional
         self.in_channels = in_channels
 
+    _synthesis_needs_z = True  # decoder-side wmap conditioning comes from ẑ
+
     def compress(self, x_cur, *args) -> Dict[str, Any]:
-        enc, _ = self._codec_encode(x_cur, *args)
-        return enc
+        return self._codec_encode(x_cur, *args)
 
     def decompress(self, strings, shape, x_conditioned=None) -> Dict[str, Any]:
         assert isinstance(strings, list) and len(strings) == 2
         self._require_tables()
-        z_hat = jnp.asarray(self._eb_decompress(strings[1], shape))
         if self.conditional:
             y_cond = self._jitted(
                 "cond_latent", lambda a: self._apply(a, method="cond_latent")
             )(x_conditioned)
         else:
-            b, h, w = z_hat.shape[0], z_hat.shape[1] * 4, z_hat.shape[2] * 4
+            b = len(strings[1])
+            h, w = shape[0] * 4, shape[1] * 4
             y_cond = jnp.zeros((b, h, w, self.in_channels), jnp.float32)
-        scales, means, indexes = self._params_indexes_fn()(z_hat, y_cond)
-        y_hat = jnp.asarray(self._gc_decompress(strings[0], indexes, means))
-        x_hat = self._jitted(
-            "synthesis", lambda a, b: self._apply(a, b, method="synthesis")
-        )(y_hat, z_hat)
+        y_hat, x_hat, means = self._codec_decode(strings, shape, y_cond)
         return {
             "x_hat": x_hat,
             "y_hat": y_hat,
-            "entropy_params": {"scales_hat": scales, "means_hat": means},
+            "entropy_params": {"means_hat": means},
         }
 
 

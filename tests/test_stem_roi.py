@@ -96,15 +96,20 @@ class TestStemROI:
         dec = m.decompress(enc["strings"], enc["shape"], x_cond)
         assert dec["x_hat"].shape == x_cur.shape
 
-        # reproduce the encoder-side symbols and compare exactly
-        from spatiotemporalentropymodel_tpu.entropy.base import safe_symbols
-
-        y_cur, y_cond, z = m._jit_cache["encode_latents"](x_cur, x_cond, qmap)
-        z_hat = jnp.asarray(m._eb_quantize(z))
-        _, means, _ = m._params_indexes_fn()(z_hat, y_cond)
-        expected = (
-            safe_symbols(np.asarray(y_cur), np.asarray(means)) + np.asarray(means)
-        ).astype(np.float32)
+        # reproduce the encoder-side symbols and compare exactly (the fused
+        # fast path saturates both y and z symbols to int16)
+        y_cur, y_cond, z = m._apply(x_cur, x_cond, qmap, method="encode_latents")
+        med = m.tables["entropy_bottleneck"].medians[None, None, None, :]
+        z_sym = np.clip(
+            np.round(np.asarray(z, np.float32) - med.astype(np.float32)),
+            -32767, 32767,
+        ).astype(np.int16)
+        means, _ = m._fused_params_fn()(jnp.asarray(z_sym), y_cond)
+        sym = np.clip(
+            np.round(np.asarray(y_cur, np.float32) - np.asarray(means, np.float32)),
+            -32767, 32767,
+        ).astype(np.int16)
+        expected = (sym.astype(np.float32) + np.asarray(means)).astype(np.float32)
         np.testing.assert_array_equal(np.asarray(dec["y_hat"]), expected)
 
     def test_wo_gsc_has_no_wmap_params(self):
