@@ -9,6 +9,7 @@ from .priors import (
     ScaleHyperprior,
     ScaleHyperpriorModule,
 )
+from .charm import ChannelARSTEMModule, SpatioTemporalPriorModelChannelAR
 from .waseda import Cheng2020Anchor, Cheng2020Attention
 from .stem_roi import (
     StemBaseline,
@@ -57,4 +58,6 @@ __all__ = [
     "StemROIModule",
     "StemROIWoGsc",
     "StemROI_I",
+    "SpatioTemporalPriorModelChannelAR",
+    "ChannelARSTEMModule",
 ]
