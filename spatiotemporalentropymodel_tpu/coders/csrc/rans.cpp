@@ -31,14 +31,6 @@ constexpr uint32_t kBypassBits = 4;
 constexpr int32_t kMaxBypassVal = (1 << kBypassBits) - 1;
 constexpr uint64_t kRansL = 1ull << 31;
 
-struct Sym {
-  uint16_t start;
-  uint16_t range;  // freq for cdf symbols; value+1 for bypass chunks
-  uint8_t bypass;
-};
-
-// ---- encoder core -------------------------------------------------------
-
 class BackwardBuf {
  public:
   void put(uint32_t w) { words_.push_back(w); }
@@ -76,64 +68,61 @@ inline void enc_put_bits(uint64_t& x, BackwardBuf& out, uint32_t val,
   x = (x << nbits) | val;
 }
 
-// Build the forward symbol list (including bypass escapes) for one lane.
-// `stride`/`offset_i` select the lane's symbols (stride=1 → all).
-void build_syms(const int32_t* symbols, const int32_t* indexes, int64_t n,
-                const int32_t* cdfs, int32_t cols, const int32_t* cdf_sizes,
-                const int32_t* offsets, int64_t lane, int64_t stride,
-                std::vector<Sym>& syms) {
-  for (int64_t i = lane; i < n; i += stride) {
+// Direct reverse-order encoder: no symbol buffering. Iterates the input
+// backwards and, within each escaped symbol, emits the bypass tokens in the
+// exact reverse of the forward emission order ([escape, count tokens,
+// nibbles] forward → nibbles high-to-low, count tokens last-to-first, escape)
+// so the stream is bit-identical to the buffered path.
+void encode_direct(const int32_t* symbols, const int32_t* indexes, int64_t n,
+                   const int32_t* cdfs, int32_t cols, const int32_t* cdf_sizes,
+                   const int32_t* offsets, int64_t lane, int64_t stride,
+                   BackwardBuf& out) {
+  uint64_t x = kRansL;
+  // last index of this lane
+  int64_t start_i = -1;
+  for (int64_t i = lane; i < n; i += stride) start_i = i;
+  for (int64_t i = start_i; i >= lane; i -= stride) {
     const int32_t cdf_idx = indexes[i];
     const int32_t* cdf = cdfs + static_cast<int64_t>(cdf_idx) * cols;
     const int32_t max_value = cdf_sizes[cdf_idx] - 2;
     int32_t value = symbols[i] - offsets[cdf_idx];
 
-    // 64-bit so the nibble-count shift below never reaches the operand width
-    // (a uint32 shift by >=32 is UB and loops forever for |raw| >= 2^28).
     uint64_t raw_val = 0;
+    bool escaped = false;
     if (value < 0) {
       raw_val = static_cast<uint64_t>(-2ll * value - 1);
       value = max_value;
+      escaped = true;
     } else if (value >= max_value) {
       raw_val = static_cast<uint64_t>(2ll * (value - max_value));
       value = max_value;
+      escaped = true;
     }
 
-    syms.push_back({static_cast<uint16_t>(cdf[value]),
-                    static_cast<uint16_t>(cdf[value + 1] - cdf[value]), 0});
-
-    if (value == max_value) {
+    if (escaped) {
       int32_t n_bypass = 0;
       while ((raw_val >> (n_bypass * kBypassBits)) != 0) ++n_bypass;
+      // nibbles, highest chunk first (reverse of forward j = 0..n-1)
+      for (int32_t j = n_bypass - 1; j >= 0; --j) {
+        enc_put_bits(
+            x, out,
+            static_cast<uint32_t>((raw_val >> (j * kBypassBits)) &
+                                  kMaxBypassVal),
+            kBypassBits);
+      }
+      // count tokens: forward emits (15 × k, rem); reverse emits rem, 15 × k
       int32_t v = n_bypass;
-      while (v >= kMaxBypassVal) {
-        syms.push_back({static_cast<uint16_t>(kMaxBypassVal),
-                        static_cast<uint16_t>(kMaxBypassVal + 1), 1});
-        v -= kMaxBypassVal;
-      }
-      syms.push_back(
-          {static_cast<uint16_t>(v), static_cast<uint16_t>(v + 1), 1});
-      for (int32_t j = 0; j < n_bypass; ++j) {
-        const uint16_t chunk = (raw_val >> (j * kBypassBits)) & kMaxBypassVal;
-        syms.push_back(
-            {chunk, static_cast<uint16_t>(chunk + 1), 1});
+      enc_put_bits(x, out, static_cast<uint32_t>(v % kMaxBypassVal),
+                   kBypassBits);
+      for (int32_t k = v / kMaxBypassVal; k > 0; --k) {
+        enc_put_bits(x, out, static_cast<uint32_t>(kMaxBypassVal),
+                     kBypassBits);
       }
     }
+    enc_put(x, out, cdf[value],
+            static_cast<uint32_t>(cdf[value + 1] - cdf[value]));
   }
-}
-
-// Encode a prepared symbol list into a backward buffer (reverse order + flush).
-void encode_syms(const std::vector<Sym>& syms, BackwardBuf& out) {
-  uint64_t x = kRansL;
-  for (size_t k = syms.size(); k-- > 0;) {
-    const Sym& s = syms[k];
-    if (s.bypass) {
-      enc_put_bits(x, out, s.start, kBypassBits);
-    } else {
-      enc_put(x, out, s.start, s.range);
-    }
-  }
-  out.put(static_cast<uint32_t>(x >> 32));  // reversed => stream is [lo, hi]
+  out.put(static_cast<uint32_t>(x >> 32));
   out.put(static_cast<uint32_t>(x));
 }
 
@@ -279,11 +268,9 @@ int64_t stem_encode_with_indexes(const int32_t* symbols, const int32_t* indexes,
                                  const int32_t* offsets, uint8_t* out,
                                  int64_t out_cap) {
   (void)rows;
-  std::vector<Sym> syms;
-  syms.reserve(static_cast<size_t>(n) + 16);
-  build_syms(symbols, indexes, n, cdfs, cols, cdf_sizes, offsets, 0, 1, syms);
   BackwardBuf buf;
-  encode_syms(syms, buf);
+  encode_direct(symbols, indexes, n, cdfs, cols, cdf_sizes, offsets, 0, 1,
+                buf);
   const int64_t nbytes = static_cast<int64_t>(buf.nbytes());
   if (nbytes > out_cap) return -nbytes;
   buf.copy_reversed(out);
@@ -371,11 +358,8 @@ int64_t stem_encode_interleaved(const int32_t* symbols, const int32_t* indexes,
   std::vector<BackwardBuf> bufs(n_lanes);
 
   auto work = [&](int32_t lane) {
-    std::vector<Sym> syms;
-    syms.reserve(static_cast<size_t>(n / n_lanes) + 16);
-    build_syms(symbols, indexes, n, cdfs, cols, cdf_sizes, offsets, lane,
-               n_lanes, syms);
-    encode_syms(syms, bufs[lane]);
+    encode_direct(symbols, indexes, n, cdfs, cols, cdf_sizes, offsets, lane,
+                  n_lanes, bufs[lane]);
   };
 
   const unsigned hw = std::thread::hardware_concurrency();
