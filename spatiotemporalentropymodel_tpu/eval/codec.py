@@ -134,6 +134,8 @@ def decode(input_path, output=None, checkpoint=None, model=None):
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
+    import spatiotemporalentropymodel_tpu as stem_tpu
+
     enc = sub.add_parser("encode")
     enc.add_argument("image")
     enc.add_argument("-o", "--output", required=True)
@@ -142,12 +144,19 @@ def main(argv=None):
     enc.add_argument("--quality", type=int, default=1)
     enc.add_argument("--metric", default="mse", choices=list(metric_ids))
     enc.add_argument("--checkpoint")
+    enc.add_argument("-c", "--coder",
+                     choices=stem_tpu.available_entropy_coders(),
+                     default=stem_tpu.get_entropy_coder())
     dec = sub.add_parser("decode")
     dec.add_argument("input")
     dec.add_argument("-o", "--output")
     dec.add_argument("--checkpoint")
+    dec.add_argument("-c", "--coder",
+                     choices=stem_tpu.available_entropy_coders(),
+                     default=stem_tpu.get_entropy_coder())
     args = parser.parse_args(argv)
 
+    stem_tpu.set_entropy_coder(args.coder)
     if args.command == "encode":
         encode(args.image, args.output, args.model, args.quality, args.metric,
                args.checkpoint)

@@ -169,6 +169,44 @@ def make_joint_sequence_step(
     return step
 
 
+EVAL_LEVELS = (0, 25, 50, 75, 100)  # train_stem_roi.py:452-457
+
+
+def make_joint_eval_step(i_module, p_module, mode: str = "roi"):
+    """Deterministic joint eval loss at a fixed uniform Qmap level
+    (the reference's 5-level validation, train_stem_roi.py:658-716)."""
+
+    use_qmap = mode == "roi"
+
+    def step(params_i, params_p, frames, qmap):
+        lmbdamap = quality2lambda(qmap) if use_qmap else None
+        if use_qmap:
+            out_i = i_module.apply({"params": params_i}, frames[:, 0], qmap,
+                                   train=False)
+            total = pixelwise_rate_distortion_loss(
+                out_i, frames[:, 0], lmbdamap
+            )["loss"]
+        else:
+            out_i = i_module.apply({"params": params_i}, frames[:, 0],
+                                   train=False)
+            total = rate_distortion_loss(out_i, frames[:, 0])["loss"]
+        x_cond = out_i["x_hat"]
+        for t in range(1, frames.shape[1]):
+            args = (frames[:, t], x_cond, qmap) if use_qmap else (
+                frames[:, t], x_cond)
+            out_p = p_module.apply({"params": params_p}, *args, train=False)
+            if use_qmap:
+                total += pixelwise_rate_distortion_loss(
+                    out_p, frames[:, t], lmbdamap
+                )["loss"]
+            else:
+                total += rate_distortion_loss(out_p, frames[:, t])["loss"]
+            x_cond = out_p["x_hat"]
+        return total / frames.shape[1]
+
+    return step
+
+
 def train_stem_roi(config: TrainStemRoiConfig, max_steps: Optional[int] = None):
     rng = jax.random.PRNGKey(config.seed)
     ebc, m = config.entropy_bottleneck_channels, config.in_channels
@@ -232,14 +270,30 @@ def train_stem_roi(config: TrainStemRoiConfig, max_steps: Optional[int] = None):
 
         batches = synth()
 
+    eval_step = jax.jit(make_joint_eval_step(i_module, p_module, config.mode))
+
+    def validate(eval_batch) -> dict:
+        """Per-level eval losses at the reference's 5 uniform Qmap levels."""
+        out = {}
+        for level in EVAL_LEVELS:
+            q = jnp.full((eval_batch.shape[0], cs, cs, 1), level / 100.0)
+            out[f"eval_loss_l{level}"] = float(
+                eval_step(state_i.params, state_p.params,
+                          jnp.asarray(eval_batch), q)
+            )
+        return out
+
     total = max_steps if max_steps is not None else (
         config.epochs * (config.steps_per_epoch or 10**9)
     )
     iteration = 0
     metrics = {}
+    eval_batch = None
     for batch in batches:
         if iteration >= total:
             break
+        if eval_batch is None:
+            eval_batch = np.asarray(batch)  # held-out-ish fixed probe batch
         qmap = np.stack(
             [synthesize_qmap(cs, rng=pyrandom) for _ in range(batch.shape[0])]
         )
@@ -250,6 +304,8 @@ def train_stem_roi(config: TrainStemRoiConfig, max_steps: Optional[int] = None):
         iteration += 1
         if iteration % 100 == 0:
             logger.log(iteration, **{k_: float(v) for k_, v in metrics.items()})
+        if iteration % 10000 == 0 and eval_batch is not None:
+            logger.log(iteration, **validate(eval_batch))
 
     ckpt.save(
         {
