@@ -157,6 +157,14 @@ def main():
                         str(b): round(r["fps"], 3) for b, r in results.items()
                     },
                     "device": str(jax.devices()[0]),
+                    "environment_note": (
+                        "device reached through a remote tunnel: ~30-40 ms "
+                        "fixed RPC latency per dispatch/transfer and "
+                        "~20-40 MB/s host<->device bandwidth dominate "
+                        "(measured in tools/profile_pipeline.py); device "
+                        "compute per frame is ~50 ms and host rANS ~35 ms "
+                        "(15 enc + 20 dec at this bpp) on one core"
+                    ),
                 },
             }
         )

@@ -351,81 +351,152 @@ class FactorizedPrior(CompressionModel):
         return {"x_hat": x_hat}
 
 
-class ScaleHyperprior(CompressionModel):
+class _HyperpriorCodecBase(CompressionModel):
+    """Fused single-dispatch codec path shared by the hyperprior image codecs
+    (same design as the STEM/ROI fast paths: one jit per compress emitting a
+    packed [y int16][z int16][idx u8] byte buffer; two-dispatch decode).
+
+    ``_with_means`` distinguishes the σ-only ScaleHyperprior from the (σ, μ)
+    MeanScaleHyperprior."""
+
     has_gaussian = True
     downsampling_factor = 2**6
+    _with_means = False
+    _I16_LIM = 32767.0
+
+    def _split_params(self, hyper_out):
+        if self._with_means:
+            return hyper_out  # (scales, means)
+        return hyper_out, None
+
+    def _fused_encode_fn(self):
+        table = self.tables["gaussian_conditional"].scale_table
+        medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
+                              jnp.float32)
+        from ..ops import pallas_kernels as pk
+
+        lim = self._I16_LIM
+
+        def fn(x):
+            y, z = self._apply(x, method="analysis")
+            z_sym = jnp.clip(jnp.round(z - medians), -lim, lim).astype(
+                jnp.int16
+            )
+            z_hat = z_sym.astype(jnp.float32) + medians
+            scales, means = self._split_params(
+                self._apply(z_hat, method="hyper_synthesis")
+            )
+            if means is None:
+                means = jnp.zeros_like(scales)
+            y_sym, idx = pk.quantize_and_index(y, means, scales, table)
+            y_sym = jnp.clip(y_sym, -lim, lim).astype(jnp.int16)
+            return jnp.concatenate([
+                jax.lax.bitcast_convert_type(y_sym, jnp.uint8).reshape(-1),
+                jax.lax.bitcast_convert_type(z_sym, jnp.uint8).reshape(-1),
+                idx.reshape(-1),
+            ])
+
+        return self._jitted("fused_encode", fn)
+
+    def _fused_params_fn(self):
+        table = self.tables["gaussian_conditional"].scale_table
+        medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
+                              jnp.float32)
+
+        def fn(z_sym):
+            z_hat = z_sym.astype(jnp.float32) + medians
+            scales, means = self._split_params(
+                self._apply(z_hat, method="hyper_synthesis")
+            )
+            if means is None:
+                means = jnp.zeros_like(scales)
+            idx = build_indexes(scales, table).astype(jnp.uint8)
+            return means, idx
+
+        return self._jitted("fused_params", fn)
+
+    def _fused_finish_fn(self):
+        def fn(y_sym, means):
+            y_hat = y_sym.astype(jnp.float32) + means
+            x_hat = jnp.clip(self._apply(y_hat, method="synthesis"), 0.0, 1.0)
+            return y_hat, x_hat
+
+        return self._jitted("fused_finish", fn)
+
+    def compress(self, x) -> Dict[str, Any]:
+        self._require_tables()
+        b, h, w = jnp.shape(x)[0], jnp.shape(x)[1], jnp.shape(x)[2]
+        zt = self.tables["entropy_bottleneck"]
+        y_shape = (b, h // 16, w // 16, self.M)
+        z_shape = (b, h // 64, w // 64, zt.rows)
+        packed = self._fused_encode_fn()(x)
+        y_sym, z_sym, idx = entropy_base.unpack_symbol_buffer(
+            packed, y_shape, z_shape
+        )
+        z_idx = entropy_base.bottleneck_indexes(z_shape, zt.rows)
+        z_strings = entropy_base.compress(
+            z_sym.astype(np.int32), z_idx, zt, self.coder
+        )
+        y_strings = entropy_base.compress(
+            y_sym.astype(np.int32), idx,
+            self.tables["gaussian_conditional"], self.coder,
+        )
+        return {
+            "strings": [y_strings, z_strings],
+            "shape": tuple(z_shape[1:3]),
+        }
+
+    def decompress(self, strings, shape) -> Dict[str, Any]:
+        assert isinstance(strings, list) and len(strings) == 2
+        self._require_tables()
+        zt = self.tables["entropy_bottleneck"]
+        z_idx = entropy_base.bottleneck_indexes(
+            (len(strings[1]), *shape, zt.rows), zt.rows
+        )
+        z_sym = entropy_base.decompress(strings[1], z_idx, zt, self.coder)
+        means, idx = self._fused_params_fn()(
+            jnp.asarray(z_sym.astype(np.int16))
+        )
+        y_sym = entropy_base.decompress(
+            strings[0], np.asarray(idx, np.int32),
+            self.tables["gaussian_conditional"], self.coder,
+        )
+        y_hat, x_hat = self._fused_finish_fn()(
+            jnp.asarray(y_sym.astype(np.int16)), means
+        )
+        if self._with_means:
+            return {"x_hat": x_hat, "y_hat": y_hat}
+        return {"x_hat": x_hat}
+
+
+class ScaleHyperprior(_HyperpriorCodecBase):
+    _with_means = False
 
     def __init__(self, N: int, M: int, **kw):
         super().__init__(ScaleHyperpriorModule(N, M), **kw)
         self.N, self.M = N, M
 
-    def _scales_and_indexes(self):
-        table = self.tables["gaussian_conditional"].scale_table
 
-        def fn(z_hat):
-            scales = self._apply(z_hat, method="hyper_synthesis")
-            return scales, build_indexes(scales, table)
-
-        return self._jitted("hyper_synthesis", fn)
-
-    def compress(self, x) -> Dict[str, Any]:
-        self._require_tables()
-        y, z = self._jitted("analysis", lambda v: self._apply(v, method="analysis"))(x)
-        z_strings = self._eb_compress(z)
-        z_hat = self._eb_quantize(z)
-        _, indexes = self._scales_and_indexes()(z_hat)
-        y_strings = self._gc_compress(y, indexes)
-        return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
-
-    def decompress(self, strings, shape) -> Dict[str, Any]:
-        assert isinstance(strings, list) and len(strings) == 2
-        self._require_tables()
-        z_hat = self._eb_decompress(strings[1], shape)
-        _, indexes = self._scales_and_indexes()(z_hat)
-        y_hat = self._gc_decompress(strings[0], indexes)
-        x_hat = self._jitted(
-            "synthesis",
-            lambda v: jnp.clip(self._apply(v, method="synthesis"), 0.0, 1.0),
-        )(y_hat)
-        return {"x_hat": x_hat}
-
-
-class MeanScaleHyperprior(ScaleHyperprior):
+class MeanScaleHyperprior(_HyperpriorCodecBase):
     """priors.py:316-402; adds getY/getX used by the STEM training scripts."""
+
+    _with_means = True
 
     def __init__(self, N: int, M: int, **kw):
         CompressionModel.__init__(self, MeanScaleHyperpriorModule(N, M), **kw)
         self.N, self.M = N, M
 
-    def _params_and_indexes(self):
-        table = self.tables["gaussian_conditional"].scale_table
+    def get_y(self, x, train: bool = False):
+        return self._apply(x, method="get_y", train=train)
 
-        def fn(z_hat):
-            scales, means = self._apply(z_hat, method="hyper_synthesis")
-            return scales, means, build_indexes(scales, table)
+    getY = get_y
 
-        return self._jitted("hyper_synthesis_ms", fn)
-
-    def compress(self, x) -> Dict[str, Any]:
-        self._require_tables()
-        y, z = self._jitted("analysis", lambda v: self._apply(v, method="analysis"))(x)
-        z_strings = self._eb_compress(z)
-        z_hat = self._eb_quantize(z)
-        _, means, indexes = self._params_and_indexes()(z_hat)
-        y_strings = self._gc_compress(y, indexes, means)
-        return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
-
-    def decompress(self, strings, shape) -> Dict[str, Any]:
-        assert isinstance(strings, list) and len(strings) == 2
-        self._require_tables()
-        z_hat = self._eb_decompress(strings[1], shape)
-        _, means, indexes = self._params_and_indexes()(z_hat)
-        y_hat = self._gc_decompress(strings[0], indexes, means)
-        x_hat = self._jitted(
-            "synthesis",
-            lambda v: jnp.clip(self._apply(v, method="synthesis"), 0.0, 1.0),
+    def get_x(self, y_hat):
+        return self._jitted(
+            "get_x", lambda v: self._apply(v, method="get_x")
         )(y_hat)
-        return {"x_hat": x_hat, "y_hat": y_hat}
+
+    getX = get_x
 
     def get_y(self, x, train: bool = False):
         return self._apply(x, method="get_y", train=train)

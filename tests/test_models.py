@@ -99,11 +99,22 @@ class TestCodecRoundTrip:
         assert dec["x_hat"].shape == x.shape
         if cls is MeanScaleHyperprior:
             # decoded y_hat must exactly equal the encoder-side quantization
-            y, z = m._jit_cache["analysis"](x)
-            z_hat = m._eb_quantize(z)
-            _, means, indexes = m._params_and_indexes()(jnp.asarray(z_hat))
-            expect = np.round(np.asarray(y) - np.asarray(means)) + np.asarray(means)
-            np.testing.assert_allclose(np.asarray(dec["y_hat"]), expect, atol=1e-5)
+            # (the fused fast path saturates z and y symbols to int16)
+            y, z = m._apply(x, method="analysis")
+            med = m.tables["entropy_bottleneck"].medians[None, None, None, :]
+            z_sym = np.clip(
+                np.round(np.asarray(z, np.float32) - med.astype(np.float32)),
+                -32767, 32767,
+            ).astype(np.int16)
+            means, _ = m._fused_params_fn()(jnp.asarray(z_sym))
+            sym = np.clip(
+                np.round(np.asarray(y, np.float32) - np.asarray(means)),
+                -32767, 32767,
+            ).astype(np.int16)
+            expect = (sym.astype(np.float32) + np.asarray(means)).astype(
+                np.float32
+            )
+            np.testing.assert_array_equal(np.asarray(dec["y_hat"]), expect)
 
     def test_update_idempotent_unless_forced(self):
         m = MeanScaleHyperprior(8, 12)
