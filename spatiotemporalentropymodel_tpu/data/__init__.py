@@ -8,10 +8,16 @@ from .transforms import (
     yuv_420_to_444,
     yuv_444_to_420,
 )
-from .vimeo import TEMPORAL_SUBSAMPLES, VimeoSepTuplet, subsample_frames
+from .vimeo import (
+    TEMPORAL_SUBSAMPLES,
+    VimeoSepTuplet,
+    VimeoSepTupletQMap,
+    subsample_frames,
+)
 
 __all__ = [
     "VimeoSepTuplet",
+    "VimeoSepTupletQMap",
     "TEMPORAL_SUBSAMPLES",
     "subsample_frames",
     "ImageFolder",

@@ -87,3 +87,32 @@ def subsample_frames(batch: np.ndarray, rng: Optional[random.Random] = None):
     rng = rng or random
     idx = rng.choice(TEMPORAL_SUBSAMPLES)
     return batch[:, list(idx)]
+
+
+class VimeoSepTupletQMap(VimeoSepTuplet):
+    """Septuplets + a synthesized quality map per sample.
+
+    Parity: stem_roi/stem_roi_dataset.py:13-154 (VimeoSepTuplet_QMap):
+    training maps are 30% uniform / 30% gradient / 40% Gaussian-mixture
+    (data/qmap.py); test maps are uniform at ``level``. Returns
+    (frames (7, cs, cs, 3), qmap (cs, cs, 1)).
+    """
+
+    def __init__(self, data_root: str, is_training: bool = True,
+                 cropsize: int = 256, level: float = 0,
+                 level_range=(0, 100), rng: Optional[random.Random] = None):
+        super().__init__(data_root, is_training, cropsize, rng)
+        self.level = level
+        self.level_range = level_range
+
+    def __getitem__(self, index: int):
+        from .qmap import synthesize_qmap, uniform_qmap
+
+        frames = super().__getitem__(index)
+        if self.training:
+            qmap = synthesize_qmap(self.cropsize, self.level_range,
+                                   rng=self.rng)
+        else:
+            qmap = uniform_qmap(self.cropsize, self.level,
+                                self.level_range[1])
+        return frames, qmap

@@ -61,6 +61,21 @@ class TestVimeo:
         out = subsample_frames(batch, random.Random(0))
         assert out.shape[1] in (2, 3, 4, 7)
 
+    def test_qmap_dataset(self, vimeo_root):
+        from spatiotemporalentropymodel_tpu.data import VimeoSepTupletQMap
+
+        ds = VimeoSepTupletQMap(vimeo_root, is_training=True, cropsize=64,
+                                rng=random.Random(0))
+        frames, qmap = ds[0]
+        assert frames.shape == (7, 64, 64, 3)
+        assert qmap.shape == (64, 64, 1)
+        assert 0 <= qmap.min() and qmap.max() <= 1.02
+
+        ds_test = VimeoSepTupletQMap(vimeo_root, is_training=False,
+                                     cropsize=64, level=50)
+        _, qmap_t = ds_test[0]
+        np.testing.assert_allclose(qmap_t, 0.5)
+
     def test_batch_iterator(self, vimeo_root):
         ds = VimeoSepTuplet(vimeo_root, is_training=True, cropsize=32)
         it = batch_iterator(ds, batch_size=1, epochs=2)
