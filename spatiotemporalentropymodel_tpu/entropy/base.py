@@ -57,17 +57,21 @@ def compress(
     ]
 
 
-_lut_cache = {}
-
-
 def get_lut(tables: CodecTables, coder) -> Optional[np.ndarray]:
-    """Cached direct symbol-lookup table for O(1) decode (native coder)."""
+    """Cached direct symbol-lookup table for O(1) decode (native coder).
+
+    The LUT is cached ON the tables instance (object lifetime == cache
+    lifetime). Never key such a cache by id(): after the old tables are
+    garbage-collected a new array can reuse the same id and silently decode
+    with a stale LUT.
+    """
     if not getattr(coder, "supports_lut", False):
         return None
-    key = id(tables.cdf)
-    if key not in _lut_cache:
-        _lut_cache[key] = coder.build_lut(tables.cdf, tables.cdf_length)
-    return _lut_cache[key]
+    lut = getattr(tables, "_lut", None)
+    if lut is None:
+        lut = coder.build_lut(tables.cdf, tables.cdf_length)
+        object.__setattr__(tables, "_lut", lut)  # frozen dataclass, private cache
+    return lut
 
 
 def decompress(

@@ -160,3 +160,24 @@ class TestCodecTables:
         t2 = CodecTables.fromdict(t.asdict())
         np.testing.assert_array_equal(t.cdf, t2.cdf)
         np.testing.assert_array_equal(t.scale_table, t2.scale_table)
+
+    def test_lut_cache_is_per_instance(self):
+        """Regression: the decode LUT must be cached on the tables instance,
+        never keyed by id() — id reuse after GC once caused decodes with a
+        stale LUT after update(force=True) rebuilt the tables."""
+        import gc
+
+        from spatiotemporalentropymodel_tpu.coders import get_coder
+        from spatiotemporalentropymodel_tpu.entropy.base import get_lut
+
+        coder = get_coder("rans")
+        t1 = update_gaussian_tables(tail_mass=1e-9)
+        lut1 = get_lut(t1, coder)
+        assert get_lut(t1, coder) is lut1  # cached on the instance
+        del t1
+        gc.collect()
+        t2 = update_gaussian_tables(tail_mass=1e-6)  # different tables
+        lut2 = get_lut(t2, coder)
+        np.testing.assert_array_equal(
+            lut2, coder.build_lut(t2.cdf, t2.cdf_length)
+        )
