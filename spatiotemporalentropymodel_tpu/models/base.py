@@ -41,10 +41,22 @@ class CompressionModel:
     def __init__(self, module, params=None, rng=None, entropy_coder=None):
         self.module = module
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._jit_cache: Dict[str, Any] = {}
         self.params = params
         self.tables: Dict[str, Any] = {}
         self._coder_name = entropy_coder
-        self._jit_cache: Dict[str, Any] = {}
+
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        # jitted codec functions capture the params at trace time; any
+        # reassignment must invalidate them or compress/decompress would
+        # silently run with the previous weights
+        self._params = value
+        self._jit_cache.clear()
 
     # ---- init / params ----------------------------------------------------
 

@@ -123,6 +123,23 @@ class TestCodecRoundTrip:
         assert m.update() is False
         assert m.update(force=True) is True
 
+    def test_params_reassignment_invalidates_jit_cache(self):
+        """Jitted codec fns capture params at trace time; assigning new
+        params must retrace (else compress runs with stale weights)."""
+        m = MeanScaleHyperprior(8, 12)
+        x = _image()
+        m.init(x)
+        m.update()
+        enc1 = m.compress(x)
+        assert m._jit_cache  # populated by the compress
+
+        scaled = jax.tree_util.tree_map(lambda p: p * 1.5, m.params)
+        m.params = scaled
+        assert not m._jit_cache  # invalidated
+        m.update(force=True)
+        enc2 = m.compress(x)
+        assert enc1["strings"][0] != enc2["strings"][0]
+
     def test_state_dict_roundtrip(self):
         m = MeanScaleHyperprior(8, 12)
         x = _image()
