@@ -23,7 +23,11 @@ from ..entropy import base as entropy_base
 
 
 class StemVideoPipeline:
-    """(i_model: MeanScaleHyperprior-like, stem: parallel STEM variant)."""
+    """(i_model: MeanScaleHyperprior-like, stem: parallel STEM variant).
+
+    Construct AFTER the models' final params and ``update()`` — the jitted
+    stages capture both at build time; rebuild the pipeline if they change.
+    """
 
     def __init__(self, i_model, stem):
         if stem.use_spm:

@@ -57,6 +57,9 @@ class CompressionModel:
         # silently run with the previous weights
         self._params = value
         self._jit_cache.clear()
+        wf = getattr(self, "_wavefront_cache", None)
+        if wf is not None:
+            wf.clear()
 
     # ---- init / params ----------------------------------------------------
 
@@ -122,6 +125,9 @@ class CompressionModel:
                 scale_table = get_scale_table()
             self.tables["gaussian_conditional"] = update_gaussian_tables(scale_table)
         self._jit_cache.clear()
+        wf = getattr(self, "_wavefront_cache", None)
+        if wf is not None:
+            wf.clear()  # wavefront closures capture tables at build time
         return True
 
     def _require_tables(self):
