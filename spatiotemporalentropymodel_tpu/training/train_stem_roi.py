@@ -60,9 +60,11 @@ def make_joint_sequence_step(
     mode: str = "roi",
     loss_threshold: float = 3.0,
     guard: str = "per_frame",
+    lmbda: float = 1e-2,
 ):
     """(state_i, state_p, frames (B,T,H,W,3), qmap (B,H,W,1), rng) →
-    (state_i, state_p, metrics)."""
+    (state_i, state_p, metrics). ``lmbda`` applies in baseline (single-rate)
+    mode; ROI mode derives the λ-map from the Qmap."""
 
     use_qmap = mode == "roi"
 
@@ -82,7 +84,7 @@ def make_joint_sequence_step(
                 {"params": params_i}, frames[:, 0], train=True,
                 rngs={"noise": keys[0]},
             )
-            li = rate_distortion_loss(out_i, frames[:, 0], _LMBDA[0])
+            li = rate_distortion_loss(out_i, frames[:, 0], lmbda)
         losses = [li]
         x_cond = out_i["x_hat"]
         for t in range(1, upto + 1):
@@ -95,15 +97,10 @@ def make_joint_sequence_step(
             if use_qmap:
                 lp = pixelwise_rate_distortion_loss(out_p, frames[:, t], lmbdamap)
             else:
-                lp = rate_distortion_loss(out_p, frames[:, t], _LMBDA[0])
+                lp = rate_distortion_loss(out_p, frames[:, t], lmbda)
             losses.append(lp)
             x_cond = out_p["x_hat"]
         return losses
-
-    _LMBDA = [1e-2]
-
-    def set_lmbda(v):
-        _LMBDA[0] = v
 
     def frame_loss(params_i, params_p, frames, qmap, rng, t):
         losses = run_sequence(params_i, params_p, frames, qmap, rng, t)
@@ -165,7 +162,6 @@ def make_joint_sequence_step(
         state_p = _apply_both(optimizers_p, state_p, g_p, ga_p)
         return state_i, state_p, metrics
 
-    step.set_lmbda = set_lmbda
     return step
 
 
@@ -245,9 +241,8 @@ def train_stem_roi(config: TrainStemRoiConfig, max_steps: Optional[int] = None):
 
     step = make_joint_sequence_step(
         i_module, p_module, opt_i, opt_p, mode=config.mode,
-        loss_threshold=config.loss_skip_threshold,
+        loss_threshold=config.loss_skip_threshold, lmbda=config.lmbda,
     )
-    step.set_lmbda(config.lmbda)
     step_jit = jax.jit(step)
 
     logger = MetricsLogger(config.workdir)
