@@ -87,12 +87,16 @@ class Cheng2020AttentionModule(Cheng2020AnchorModule):
 
 
 class Cheng2020Anchor(JointAutoregressiveHierarchicalPriors):
-    def __init__(self, N: int = 192, **kw):
+    def __init__(self, N: int = 192, ar_mode: str = "wavefront", **kw):
         CompressionModel.__init__(self, Cheng2020AnchorModule(N, N), **kw)
         self.N = self.M = N
+        self.ar_mode = ar_mode
+        self._wavefront_cache = {}
 
 
 class Cheng2020Attention(JointAutoregressiveHierarchicalPriors):
-    def __init__(self, N: int = 192, **kw):
+    def __init__(self, N: int = 192, ar_mode: str = "wavefront", **kw):
         CompressionModel.__init__(self, Cheng2020AttentionModule(N, N), **kw)
         self.N = self.M = N
+        self.ar_mode = ar_mode
+        self._wavefront_cache = {}

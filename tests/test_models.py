@@ -191,3 +191,22 @@ class TestAutoregressiveCodec:
         m.init(x)
         out = m.forward(x)
         assert out["x_hat"].shape == x.shape
+
+    def test_cheng2020_attention_forward(self):
+        from spatiotemporalentropymodel_tpu.models import Cheng2020Attention
+
+        m = Cheng2020Attention(16)
+        x = _image(hw=64)
+        m.init(x)
+        out = m.forward(x)
+        assert out["x_hat"].shape == x.shape
+        assert out["likelihoods"]["y"].shape == (1, 4, 4, 16)
+
+    def test_cheng2020_codec_roundtrip(self):
+        m = Cheng2020Anchor(16)
+        x = _image(hw=64)
+        m.init(x)
+        m.update()
+        enc = m.compress(x)
+        dec = m.decompress(enc["strings"], enc["shape"])
+        assert dec["x_hat"].shape == x.shape
