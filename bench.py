@@ -139,10 +139,17 @@ def main():
         if results and (time.perf_counter() - t_start) > budget / 2:
             break
         results[b] = run_pipeline(b)
+        # checkpoint the current best to disk — remote compiles take minutes
+        # and a caller-side timeout would otherwise lose the whole run
+        _emit(results, to_stdout=False)
+    _emit(results, to_stdout=True)
+
+
+def _emit(results, to_stdout: bool):
     best_b = max(results, key=lambda b: results[b]["fps"])
     fps = results[best_b]["fps"]
 
-    print(
+    payload = (
         json.dumps(
             {
                 "metric": "stem_1080p_p_frame_encode_decode",
@@ -169,6 +176,11 @@ def main():
             }
         )
     )
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SELF.json"), "w") as f:
+        f.write(payload + "\n")
+    if to_stdout:
+        print(payload)
 
 
 if __name__ == "__main__":
