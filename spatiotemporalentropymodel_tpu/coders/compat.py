@@ -41,26 +41,59 @@ class RansEncoder:
 
 class BufferedRansEncoder:
     """Accumulate symbol chunks, emit one stream on flush()
-    (rans_interface.cpp:99-191)."""
+    (rans_interface.cpp:99-191).
+
+    The reference records the CDF tables *per symbol*; callers may legally
+    buffer chunks coded against different tables. Tables are kept per chunk
+    here and merged into one row-stacked CDF matrix at flush time (indexes
+    rebased onto each chunk's row block), which encodes identically.
+    """
 
     def __init__(self):
         self._symbols: List[np.ndarray] = []
         self._indexes: List[np.ndarray] = []
-        self._tables = None
+        self._tables: List[tuple] = []
 
     def encode_with_indexes(self, symbols, indexes, cdfs, cdfs_sizes, offsets):
         s, i, c, ln, off = _arrays(symbols, indexes, cdfs, cdfs_sizes, offsets)
         self._symbols.append(s)
         self._indexes.append(i)
-        self._tables = (c, ln, off)
+        self._tables.append((c, ln, off))
 
     def flush(self) -> bytes:
-        if self._tables is None:
+        if not self._tables:
             return b""
-        c, ln, off = self._tables
-        s = np.concatenate(self._symbols) if self._symbols else np.zeros(0, np.int32)
-        i = np.concatenate(self._indexes) if self._indexes else np.zeros(0, np.int32)
-        self._symbols, self._indexes, self._tables = [], [], None
+        first = self._tables[0]
+        same = all(
+            t[0] is first[0] or (
+                t[0].shape == first[0].shape
+                and np.array_equal(t[0], first[0])
+                and np.array_equal(t[1], first[1])
+                and np.array_equal(t[2], first[2])
+            )
+            for t in self._tables[1:]
+        )
+        if same:
+            c, ln, off = first
+            i = np.concatenate(self._indexes)
+        else:  # merge: stack rows, rebase each chunk's indexes
+            cols = max(t[0].shape[1] for t in self._tables)
+            c_parts, ln_parts, off_parts, i_parts = [], [], [], []
+            base = 0
+            for (tc, tln, toff), ti in zip(self._tables, self._indexes):
+                padded = np.zeros((tc.shape[0], cols), np.int32)
+                padded[:, : tc.shape[1]] = tc
+                c_parts.append(padded)
+                ln_parts.append(tln)
+                off_parts.append(toff)
+                i_parts.append(ti + base)
+                base += tc.shape[0]
+            c = np.concatenate(c_parts)
+            ln = np.concatenate(ln_parts)
+            off = np.concatenate(off_parts)
+            i = np.concatenate(i_parts)
+        s = np.concatenate(self._symbols)
+        self._symbols, self._indexes, self._tables = [], [], []
         return get_coder("rans").encode_with_indexes(s, i, c, ln, off)
 
 

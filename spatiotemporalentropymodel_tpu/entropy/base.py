@@ -30,11 +30,25 @@ def safe_symbols(values, means=None) -> np.ndarray:
     return np.clip(v, -SYMBOL_MAX, SYMBOL_MAX).astype(np.int32)
 
 
+def _flatten(plane: np.ndarray, order: str) -> np.ndarray:
+    """Flatten one batch element to the wire symbol order.
+
+    ``"chw"`` reproduces the reference's flattening — NCHW tensors reshaped
+    row-major (entropy_models.py:210-221) — so bitstreams are byte-identical
+    with (and decodable by) upstream compressai. ``"hwc"`` flattens the NHWC
+    plane directly (no transpose copy; the fast-path option).
+    """
+    if order == "chw" and plane.ndim >= 2:
+        plane = np.moveaxis(plane, -1, 0)
+    return np.ascontiguousarray(plane).reshape(-1)
+
+
 def compress(
     symbols,
     indexes,
     tables: CodecTables,
     coder=None,
+    order: str = "chw",
 ) -> List[bytes]:
     """Encode per-batch-element bitstreams.
 
@@ -47,8 +61,8 @@ def compress(
         raise ValueError("`symbols` and `indexes` must have the same shape")
     return [
         coder.encode_with_indexes(
-            symbols[i].reshape(-1),
-            indexes[i].reshape(-1),
+            _flatten(symbols[i], order),
+            _flatten(indexes[i], order),
             tables.cdf,
             tables.cdf_length,
             tables.offset,
@@ -79,6 +93,7 @@ def decompress(
     indexes,
     tables: CodecTables,
     coder=None,
+    order: str = "chw",
 ) -> np.ndarray:
     """Decode bitstreams back to int32 symbols with `indexes`'s shape."""
     coder = coder or get_coder()
@@ -87,15 +102,20 @@ def decompress(
         raise ValueError("one string per batch element required")
     lut = get_lut(tables, coder)
     out = np.empty(indexes.shape, np.int32)
+    plane_shape = indexes.shape[1:]
+    transpose = order == "chw" and len(plane_shape) >= 2
+    if transpose:
+        plane_shape = (plane_shape[-1],) + plane_shape[:-1]
     for i, s in enumerate(strings):
-        out[i] = coder.decode_with_indexes(
+        plane = coder.decode_with_indexes(
             s,
-            indexes[i].reshape(-1),
+            _flatten(indexes[i], order),
             tables.cdf,
             tables.cdf_length,
             tables.offset,
             lut=lut,
-        ).reshape(indexes.shape[1:])
+        ).reshape(plane_shape)
+        out[i] = np.moveaxis(plane, 0, -1) if transpose else plane
     return out
 
 

@@ -148,6 +148,64 @@ class AV1(BinaryCodec):
     binary = "aomenc"
 
 
+class TFCI(BinaryCodec):
+    """tensorflow/compression `tfci.py` driver (codecs.py:380-436 parity).
+
+    Runs ``python <tfci_path> compress <model>-<quality> in out`` and the
+    matching ``decompress``; degrades gracefully when the script (or its
+    tensorflow dependency) is absent. ``model`` ∈ the three TF-compression
+    releases the reference lists.
+    """
+
+    MODELS = (
+        "bmshj2018-factorized-mse",
+        "bmshj2018-hyperprior-mse",
+        "mbt2018-mean-mse",
+    )
+    quality_range = (1, 8)
+
+    def __init__(self, tfci_path: str = "tfci.py",
+                 model: str = MODELS[0]):
+        if model not in self.MODELS:
+            raise ValueError(f"invalid TFCI model {model!r}")
+        self.tfci_path = tfci_path
+        self.model = model
+
+    def available(self) -> bool:
+        return os.path.isfile(self.tfci_path)
+
+    def run(self, image_path, quality):
+        import sys
+
+        if not self.available():
+            raise RuntimeError(f"tfci script not found: {self.tfci_path}")
+        if not 1 <= quality <= 8:
+            raise ValueError(f"Invalid quality value: {quality} (1, 8)")
+        ref = _load(image_path)
+        with tempfile.TemporaryDirectory() as d:
+            out = os.path.join(d, "out.tfci")
+            rec_png = os.path.join(d, "rec.png")
+            t0 = time.time()
+            subprocess.run(
+                [sys.executable, self.tfci_path, "compress",
+                 f"{self.model}-{quality:d}", image_path, out],
+                check=True,
+            )
+            enc_t = time.time() - t0
+            nbytes = os.path.getsize(out)
+            t0 = time.time()
+            subprocess.run(
+                [sys.executable, self.tfci_path, "decompress", out, rec_png],
+                check=True,
+            )
+            dec_t = time.time() - t0
+            rec = _load(rec_png)
+        rv = _metrics(ref, rec, nbytes)
+        rv["encoding_time"] = enc_t
+        rv["decoding_time"] = dec_t
+        return rv
+
+
 _CODECS = {
     "jpeg": JPEG,
     "webp": WebP,
@@ -156,6 +214,7 @@ _CODECS = {
     "vtm": VTM,
     "hm": HM,
     "av1": AV1,
+    "tfci": TFCI,
 }
 
 

@@ -33,8 +33,15 @@ def eval_sequence(
     entropy_estimation: bool = False,
     compute_msssim: bool = True,
     logfile: Optional[str] = None,
+    report_estimated_bpp: bool = True,
 ) -> Dict[str, float]:
-    """Evaluate one GOP sequence; returns aggregate metrics."""
+    """Evaluate one GOP sequence; returns aggregate metrics.
+
+    ``report_estimated_bpp=False`` skips the extra ``forward()`` that only
+    produces the estimated-bpp column (the reference always runs it,
+    evalSTEM.py:48/106 — double device work in real-codec mode); with it off,
+    per-frame wall-clock ≈ enc_time + dec_time, matching bench.py's timing.
+    """
     log_f = open(logfile, "a") if logfile else None
     sums = {"psnr": 0.0, "ms_ssim": 0.0, "bpp": 0.0, "bpp_est": 0.0,
             "enc_time": 0.0, "dec_time": 0.0}
@@ -48,8 +55,11 @@ def eval_sequence(
         x_padded, pads = _pad64(x)
 
         if frame.is_intra or y_conditioned is None:
-            fwd = i_model.forward(x_padded)
-            bpp_est = float(estimate_bpp(fwd["likelihoods"], num_pixels))
+            if entropy_estimation or report_estimated_bpp:
+                fwd = i_model.forward(x_padded)
+                bpp_est = float(estimate_bpp(fwd["likelihoods"], num_pixels))
+            else:
+                bpp_est = float("nan")
             if entropy_estimation:
                 x_hat, y_conditioned = fwd["x_hat"], fwd["y_hat"]
                 bpp = bpp_est
@@ -73,8 +83,13 @@ def eval_sequence(
                 )
                 y_hat = out["y_hat"]
             else:
-                fwd = stem.forward(y_cur, y_conditioned)
-                bpp_est = float(estimate_bpp(fwd["likelihoods"], num_pixels))
+                if report_estimated_bpp:
+                    fwd = stem.forward(y_cur, y_conditioned)
+                    bpp_est = float(
+                        estimate_bpp(fwd["likelihoods"], num_pixels)
+                    )
+                else:
+                    bpp_est = float("nan")
                 t0 = time.time()
                 enc = stem.compress(y_cur, y_conditioned)
                 enc_t = time.time() - t0
@@ -95,7 +110,7 @@ def eval_sequence(
         sums["psnr"] += p
         sums["ms_ssim"] += 0.0 if math.isnan(m) else m
         sums["bpp"] += bpp
-        sums["bpp_est"] += bpp_est
+        sums["bpp_est"] += 0.0 if math.isnan(bpp_est) else bpp_est
         n += 1
         if log_f:
             kind = "I" if frame.is_intra else "P"
@@ -117,12 +132,14 @@ def eval_dataset(
     compute_msssim: bool = True,
     logfile: Optional[str] = None,
     out_json: Optional[str] = None,
+    report_estimated_bpp: bool = True,
 ) -> Dict:
     """Evaluate all sequences; returns {sequence: metrics, "average": ...}."""
     results = {}
     for seq in dataset:
         results[seq.name] = eval_sequence(
-            i_model, stem, seq, entropy_estimation, compute_msssim, logfile
+            i_model, stem, seq, entropy_estimation, compute_msssim, logfile,
+            report_estimated_bpp=report_estimated_bpp,
         )
     keys = ["psnr", "ms_ssim", "bpp", "bpp_est"]
     avg = {

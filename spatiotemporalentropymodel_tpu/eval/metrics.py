@@ -45,9 +45,10 @@ def _filter2d(x, kernel):
     )
 
 
-def ssim(a, b, max_val: float = 1.0, kernel_size: int = 11, sigma: float = 1.5,
-         return_cs: bool = False):
-    """Single-scale SSIM (mean over NHW C)."""
+def _ssim_per_channel(a, b, max_val, kernel_size, sigma):
+    """SSIM / contrast-structure means over H, W → (B, C) pairs
+    (the pytorch_msssim `_ssim` contract: per-channel means are kept
+    separate until the final reduction)."""
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
     kernel = _gaussian_kernel(kernel_size, sigma)
@@ -59,38 +60,57 @@ def ssim(a, b, max_val: float = 1.0, kernel_size: int = 11, sigma: float = 1.5,
     sigma_bb = _filter2d(b * b, kernel) - mu_bb
     sigma_ab = _filter2d(a * b, kernel) - mu_ab
 
-    cs = (2 * sigma_ab + c2) / (sigma_aa + sigma_bb + c2)
-    ssim_map = ((2 * mu_ab + c1) / (mu_aa + mu_bb + c1)) * cs
+    cs_map = (2 * sigma_ab + c2) / (sigma_aa + sigma_bb + c2)
+    ssim_map = ((2 * mu_ab + c1) / (mu_aa + mu_bb + c1)) * cs_map
+    return ssim_map.mean(axis=(1, 2)), cs_map.mean(axis=(1, 2))
+
+
+def ssim(a, b, max_val: float = 1.0, kernel_size: int = 11, sigma: float = 1.5,
+         return_cs: bool = False):
+    """Single-scale SSIM (mean over NHW C)."""
+    s, cs = _ssim_per_channel(a, b, max_val, kernel_size, sigma)
     if return_cs:
-        return jnp.mean(ssim_map), jnp.mean(cs)
-    return jnp.mean(ssim_map)
+        return jnp.mean(s), jnp.mean(cs)
+    return jnp.mean(s)
 
 
 _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
 def _avg_pool2(x):
-    b, h, w, c = x.shape
-    h2, w2 = h - h % 2, w - w % 2
-    x = x[:, :h2, :w2, :]
-    return x.reshape(b, h2 // 2, 2, w2 // 2, 2, c).mean(axis=(2, 4))
+    """2×2 average pool matching ``F.avg_pool2d(x, 2, padding=dim % 2)``:
+    odd dims are zero-padded on both sides and the pad counts in the mean
+    (count_include_pad), as pytorch_msssim downsamples between scales."""
+    ph, pw = x.shape[1] % 2, x.shape[2] % 2
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    oh = (x.shape[1] - 2) // 2 + 1
+    ow = (x.shape[2] - 2) // 2 + 1
+    x = (x[:, 0 : 2 * oh : 2] + x[:, 1 : 2 * oh : 2]) * 0.5
+    return (x[:, :, 0 : 2 * ow : 2] + x[:, :, 1 : 2 * ow : 2]) * 0.5
 
 
 def ms_ssim(a, b, max_val: float = 1.0, kernel_size: int = 11,
             sigma: float = 1.5):
-    """Multi-scale SSIM, standard 5-scale weights (Wang et al. 2003)."""
+    """Multi-scale SSIM, standard 5-scale weights (Wang et al. 2003).
+
+    Follows pytorch_msssim's exact computation order — the package the
+    reference evaluates with (stem/evalSTEM.py:16): per-(batch, channel) cs/
+    ssim means, relu'd stack, weighted geometric product per (B, C), and a
+    single arithmetic mean at the end. Pinned against a torch transcription
+    of that algorithm in tests/test_metrics.py (≤1e-4).
+    """
     weights = jnp.asarray(_MSSSIM_WEIGHTS)
     levels = len(_MSSSIM_WEIGHTS)
     vals = []
     for i in range(levels):
-        s, cs = ssim(a, b, max_val, kernel_size, sigma, return_cs=True)
-        vals.append(s if i == levels - 1 else cs)
+        s, cs = _ssim_per_channel(a, b, max_val, kernel_size, sigma)
+        vals.append(s if i == levels - 1 else cs)  # each (B, C)
         if i < levels - 1:
             a, b = _avg_pool2(a), _avg_pool2(b)
-    vals = jnp.stack(vals)
-    # clamp for numerical safety before the weighted geometric mean
-    vals = jnp.maximum(vals, 1e-6)
-    return jnp.prod(vals**weights)
+    stack = jax.nn.relu(jnp.stack(vals))  # (levels, B, C)
+    per_bc = jnp.prod(stack ** weights[:, None, None], axis=0)
+    return jnp.mean(per_bc)
 
 
 def estimate_bpp(likelihoods, num_pixels: int):

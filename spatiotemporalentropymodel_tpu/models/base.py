@@ -130,6 +130,16 @@ class CompressionModel:
             wf.clear()  # wavefront closures capture tables at build time
         return True
 
+    def set_tables(self, tables: Dict[str, Any]) -> None:
+        """Install externally provided codec tables (e.g. the CDF buffers
+        shipped inside a reference torch checkpoint — zoo/convert.py::
+        tables_from_state_dict) and invalidate captured jit closures."""
+        self.tables = dict(tables)
+        self._jit_cache.clear()
+        wf = getattr(self, "_wavefront_cache", None)
+        if wf is not None:
+            wf.clear()
+
     def _require_tables(self):
         if not self.tables:
             raise RuntimeError("Uninitialized CDFs. Run update() first")

@@ -427,8 +427,11 @@ class _HyperpriorCodecBase(CompressionModel):
         self._require_tables()
         b, h, w = jnp.shape(x)[0], jnp.shape(x)[1], jnp.shape(x)[2]
         zt = self.tables["entropy_bottleneck"]
-        y_shape = (b, h // 16, w // 16, self.M)
-        z_shape = (b, h // 64, w // 64, zt.rows)
+        # k5s2 convs produce ceil-divided sizes (the reference reads tensor
+        # shapes instead, priors.py:300-306); ceil-divide so non-×64 inputs
+        # unpack correctly.
+        y_shape = (b, -(-h // 16), -(-w // 16), self.M)
+        z_shape = (b, -(-h // 64), -(-w // 64), zt.rows)
         packed = self._fused_encode_fn()(x)
         y_sym, z_sym, idx = entropy_base.unpack_symbol_buffer(
             packed, y_shape, z_shape
@@ -485,18 +488,6 @@ class MeanScaleHyperprior(_HyperpriorCodecBase):
     def __init__(self, N: int, M: int, **kw):
         CompressionModel.__init__(self, MeanScaleHyperpriorModule(N, M), **kw)
         self.N, self.M = N, M
-
-    def get_y(self, x, train: bool = False):
-        return self._apply(x, method="get_y", train=train)
-
-    getY = get_y
-
-    def get_x(self, y_hat):
-        return self._jitted(
-            "get_x", lambda v: self._apply(v, method="get_x")
-        )(y_hat)
-
-    getX = get_x
 
     def get_y(self, x, train: bool = False):
         return self._apply(x, method="get_y", train=train)

@@ -333,7 +333,7 @@ class SpatioTemporalPriorModel(CompressionModel):
             return self._compress_ar(y_cur, y_conditioned, z, z_hat, z_strings)
 
         b, hgt, wid, m = jnp.shape(y_cur)
-        zh, zw = hgt // 4, wid // 4
+        zh, zw = -(-hgt // 4), -(-wid // 4)  # k5s2 convs ceil-divide
         zt = self.tables["entropy_bottleneck"]
         zc = zt.rows
         packed = np.asarray(self._fused_encode_fn()(y_cur, y_conditioned))

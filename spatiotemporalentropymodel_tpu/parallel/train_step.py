@@ -80,8 +80,11 @@ def make_stem_train_step(
 ) -> Callable:
     """Train step for a STEM P-frame model over a latent sequence.
 
-    batch: (B, T, h, w, M) latents (T >= 2); frame 0 is the conditioning
-    latent, frames 1..T-1 are P-frames. The scan carry is the stop-gradiented
+    batch: (B, T, h, w, M) latents (T >= 2); frame 0 is the *quantized*
+    conditioning latent (used only as the initial carry — the reference's
+    ``_, y_condition = getY(images[0])``) and frames 1..T-1 are *raw*
+    latents used as coding targets (``y_cur, _ = getY(images[t])``,
+    trainSTEM.py:199-207). The scan carry is the stop-gradiented
     previous reconstruction (trainSTEM.py:199-218); the per-sequence loss is
     the mean of per-frame EM losses and a single optimizer step is taken
     (the deferred-stepping recipe of train_stem_roi.py:628-631; the

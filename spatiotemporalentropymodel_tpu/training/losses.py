@@ -17,15 +17,20 @@ def _bpp(likelihoods, num_pixels):
     return jnp.sum(jnp.log(likelihoods)) / (-_LOG2 * num_pixels)
 
 
-def em_loss(output, target):
+def em_loss(output, target, upscale: int = 16):
     """Rate-only loss for STEM training (utils.py:8-27).
 
-    `target` is the latent the rate is measured against; num_pixels counts
-    N·H·W of that latent exactly as the reference does (the reference passes
-    the latent y as `target`, trainSTEM.py:207-211).
+    The reference normalizes bpp by *image* pixels: EMLoss is called as
+    ``criterion(stem_out, images[imgidx])`` (trainSTEM.py:211) and takes
+    ``N*H*W`` of that image (utils.py:19-21). Our train steps hold latents,
+    so `target` is the latent and ``num_pixels`` is its N·h·w scaled by the
+    fixed ×16 analysis stride (``upscale``); pass ``upscale=1`` when `target`
+    is the image itself. Keeping image-pixel normalization also keeps
+    gradient magnitudes — and hence ``clip_max_norm=1.0`` behavior — aligned
+    with the reference recipe.
     """
     n, h, w = target.shape[0], target.shape[1], target.shape[2]
-    num_pixels = n * h * w
+    num_pixels = n * h * w * upscale * upscale
     y_bpp = _bpp(output["likelihoods"]["y"], num_pixels)
     z_bpp = _bpp(output["likelihoods"]["z"], num_pixels)
     return {

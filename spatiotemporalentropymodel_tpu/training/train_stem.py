@@ -69,18 +69,28 @@ def build_i_model(config):
 
 
 def latents_fn(i_model):
-    """Jitted (B, T, H, W, 3) images → (B, T, h, w, M) noise-quantized latents."""
+    """Jitted (B, T, H, W, 3) images → (B, T, h, w, M) latent sequences.
 
-    def fn(params, frames, rng):
+    Matches the reference's getY usage exactly (trainSTEM.py:199-207): the
+    frame-0 conditioning carry is the *quantized* latent
+    (``_, y_condition = getY(images[0])``) while P-frame coding targets are
+    the *raw* latents (``y_cur, _ = getY(images[t])``). Frame 0 of the
+    returned sequence is therefore the quantized latent and frames 1..T-1
+    are raw — the train/eval steps use frame 0 only as the carry.
+    """
+
+    def fn(params, frames, rng, train):
         b, t = frames.shape[0], frames.shape[1]
         flat = frames.reshape((b * t,) + frames.shape[2:])
-        _, y_q = i_model.module.apply(
-            {"params": params}, flat, train=True, method="get_y",
+        y, y_q = i_model.module.apply(
+            {"params": params}, flat, train=train, method="get_y",
             rngs={"noise": rng},
         )
-        return y_q.reshape((b, t) + y_q.shape[1:])
+        y = y.reshape((b, t) + y.shape[1:])
+        y_q = y_q.reshape((b, t) + y_q.shape[1:])
+        return jnp.concatenate([y_q[:, :1], y[:, 1:]], axis=1)
 
-    return jax.jit(fn)
+    return jax.jit(fn, static_argnums=(3,))
 
 
 def train_stem(config: TrainStemConfig, max_steps: Optional[int] = None):
@@ -148,7 +158,9 @@ def train_stem(config: TrainStemConfig, max_steps: Optional[int] = None):
             if n >= max_batches:
                 break
             rng, k = jax.random.split(rng)
-            lat = get_latents(i_model.params, jnp.asarray(np.asarray(eb)), k)
+            lat = get_latents(
+                i_model.params, jnp.asarray(np.asarray(eb)), k, False
+            )
             total += float(eval_step(params, lat))
             n += 1
         return total / max(n, 1)
@@ -177,7 +189,7 @@ def train_stem(config: TrainStemConfig, max_steps: Optional[int] = None):
             break
         batch = subsample_frames(np.asarray(batch), pyrandom)
         rng, k_lat, k_step = jax.random.split(rng, 3)
-        latents = get_latents(i_model.params, jnp.asarray(batch), k_lat)
+        latents = get_latents(i_model.params, jnp.asarray(batch), k_lat, True)
 
         if config.step_mode == "per_sequence":
             if mesh is not None:

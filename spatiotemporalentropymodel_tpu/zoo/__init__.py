@@ -15,6 +15,11 @@ from ..models import (
     MeanScaleHyperprior,
     ScaleHyperprior,
     SpatioTemporalPriorModel,
+    StemBaseline,
+    StemBaselineV2,
+    StemROI,
+    StemROIWoGsc,
+    StemROI_I,
 )
 from .convert import KEY_MAPS, convert_state_dict, rename_key
 
@@ -58,6 +63,88 @@ stem_models = {
     "stpm_res": lambda **kw: SpatioTemporalPriorModel(variant="res", **kw),
 }
 
+# ROI / pixel-domain video family (stem_roi.py class names)
+roi_models = {
+    "stem_baseline": StemBaseline,
+    "stem_baselinev2": StemBaselineV2,
+    "stem_roi": StemROI,
+    "stem_roi_wo_gsc": StemROIWoGsc,
+    "stem_roi_i": StemROI_I,
+}
+
+# video model name → (key-map name, example-arg builder) for the converter
+def _video_examples(name, size=64, in_channels=192):
+    import numpy as np
+
+    img = np.zeros((1, size, size, 3), np.float32)
+    qmap = np.zeros((1, size, size, 1), np.float32)
+    lat = np.zeros((1, size // 16, size // 16, in_channels), np.float32)
+    return {
+        "stem_baseline": (img, img),
+        "stem_baselinev2": (img, img),
+        "stem_roi": (img, img, qmap),
+        "stem_roi_wo_gsc": (img, img, qmap),
+        "stem_roi_i": (img, qmap),
+        **{k: (lat, lat) for k in stem_models},
+    }[name]
+
+
+_VIDEO_KEY_MAP = {
+    "stem_baseline": "stem-baseline",
+    "stem_baselinev2": "stem-baseline",
+    "stem_roi": "stem-roi",
+    "stem_roi_wo_gsc": "stem-roi",
+    "stem_roi_i": "stem-roi",
+}
+
+
+def load_video_torch_checkpoint(name: str, path_or_state, **kwargs):
+    """Build a video model (STEM / ROI family) from a torch checkpoint.
+
+    Covers the archs the reference trains via stem/trainSTEM.py and
+    stem_roi/train_stem_roi.py; `path_or_state` is a ``.pth.tar`` path or an
+    already-loaded state dict. Tables are rebuilt via ``update(force=True)``.
+    """
+    state = path_or_state
+    if isinstance(state, (str, bytes)):
+        import torch
+
+        state = torch.load(state, map_location="cpu")
+    if "state_dict" in state:
+        state = state["state_dict"]
+
+    if name in roi_models:
+        model = roi_models[name](**kwargs)
+        key_map = KEY_MAPS[_VIDEO_KEY_MAP[name]]
+    elif name in stem_models:
+        model = stem_models[name](**kwargs)
+        key_map = KEY_MAPS["stem"]
+    else:
+        raise ValueError(f'Invalid video model name "{name}"')
+    model.init(*_video_examples(
+        name, in_channels=kwargs.get("in_channels", 192)
+    ))
+    model.params = convert_state_dict(state, model.params, key_map)
+    _install_tables(model, state)
+    return model
+
+
+def _install_tables(model, state):
+    """Prefer the checkpoint's shipped CDF buffers (byte-compatible
+    bitstreams); rebuild via update() only when the checkpoint has none."""
+    from .convert import tables_from_state_dict
+
+    tables = tables_from_state_dict(
+        state,
+        bottleneck_names=model.bottleneck_names,
+        has_gaussian=model.has_gaussian,
+    )
+    if tables is not None:
+        model.set_tables(tables)
+    else:
+        model.update(force=True)
+
+
 models = dict(model_architectures)
 
 
@@ -100,7 +187,7 @@ def load_torch_checkpoint(architecture: str, path: str, quality: int = 1,
             f"no checkpoint key map for architecture {architecture!r}"
         )
     model.params = convert_state_dict(state, model.params, key_map)
-    model.update(force=True)
+    _install_tables(model, state)
     return model
 
 
@@ -108,9 +195,11 @@ __all__ = [
     "models",
     "model_architectures",
     "stem_models",
+    "roi_models",
     "cfgs",
     "create_model",
     "load_torch_checkpoint",
+    "load_video_torch_checkpoint",
     "convert_state_dict",
     "rename_key",
     "KEY_MAPS",

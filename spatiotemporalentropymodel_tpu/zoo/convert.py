@@ -61,6 +61,50 @@ def invert_deconv_weight(k: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(k[::-1, ::-1], (2, 3, 0, 1)))
 
 
+def tables_from_state_dict(state_dict, bottleneck_names=("entropy_bottleneck",),
+                           has_gaussian=True):
+    """Adopt the CDF tables shipped inside a torch checkpoint.
+
+    The reference serializes ``_quantized_cdf/_offset/_cdf_length`` (and the
+    GaussianConditional ``scale_table``) as registered buffers
+    (entropy_models.py:92-95); its pretrained checkpoints ship them. Loading
+    them verbatim — instead of rebuilding via ``update()`` — makes bitstreams
+    byte-compatible with the reference regardless of float-precision
+    differences in table reconstruction (reconstruction is only pinned to ±2,
+    test_entropy_models.py:305-321).
+
+    Returns {name: CodecTables} or None if the checkpoint has no tables.
+    """
+    from ..entropy.tables import CodecTables
+
+    renamed = {rename_key(k): _to_numpy(v) for k, v in state_dict.items()}
+    if f"{bottleneck_names[0]}._quantized_cdf" not in renamed:
+        return None
+    if renamed[f"{bottleneck_names[0]}._quantized_cdf"].size == 0:
+        return None
+
+    tables = {}
+    for name in bottleneck_names:
+        tables[name] = CodecTables(
+            cdf=renamed[f"{name}._quantized_cdf"].astype(np.int32),
+            cdf_length=renamed[f"{name}._cdf_length"].astype(np.int32),
+            offset=renamed[f"{name}._offset"].astype(np.int32),
+            medians=renamed[f"{name}.quantiles"][:, 0, 1].astype(np.float64),
+        )
+    if has_gaussian:
+        gc = "gaussian_conditional"
+        if f"{gc}._quantized_cdf" in renamed and renamed[
+            f"{gc}._quantized_cdf"
+        ].size:
+            tables[gc] = CodecTables(
+                cdf=renamed[f"{gc}._quantized_cdf"].astype(np.int32),
+                cdf_length=renamed[f"{gc}._cdf_length"].astype(np.int32),
+                offset=renamed[f"{gc}._offset"].astype(np.int32),
+                scale_table=renamed[f"{gc}.scale_table"].astype(np.float64),
+            )
+    return tables
+
+
 _SKIP_SUFFIXES = (
     "_quantized_cdf",
     "_offset",
@@ -120,24 +164,94 @@ def convert_state_dict(
     return jax.tree_util.tree_map_with_path(fill, params_template)
 
 
-def sequential_key_map(seq_kinds: Mapping[str, Mapping[int, str]]):
+# torch Sequential indexes of the convs inside AttentionBlock's ResidualUnit
+# (conv1x1, ReLU, conv3x3, ReLU, conv1x1 — layers/layers.py:177-189)
+_RU_CONV_IDX = {"conv_0": 0, "conv_1": 2, "conv_2": 4}
+
+
+def resolve_block(prefix: str, kind: str, sub, leaf: str):
+    """Map one flax leaf inside a block/layer to its torch key + transform.
+
+    prefix: torch name of the block (e.g. "g_a.0"); kind: layer kind; sub:
+    flax submodule names below the block (excluding the leaf); leaf:
+    "kernel"/"bias"/GDN-param name. Layouts mirror
+    compressai/layers/layers.py:21-213 and models/stem_utils.py:24-63.
+    """
+    if kind in ("conv", "deconv"):
+        if leaf == "kernel":
+            return (f"{prefix}.weight", kind)
+        return (f"{prefix}.bias", "copy")
+    if kind == "subpel":  # torch: Sequential(conv3x3, PixelShuffle)
+        if leaf == "kernel":
+            return (f"{prefix}.0.weight", "conv")
+        return (f"{prefix}.0.bias", "copy")
+    if kind == "gdn":
+        return (f"{prefix}.{leaf}", "copy")
+    if kind in ("rbs", "rb"):  # ResidualBlock(WithStride): conv1/conv2/skip/gdn
+        name = sub[0]
+        if name == "gdn":
+            return (f"{prefix}.gdn.{leaf}", "copy")
+        if leaf == "kernel":
+            return (f"{prefix}.{name}.weight", "conv")
+        return (f"{prefix}.{name}.bias", "copy")
+    if kind == "rbu":  # ResidualBlockUpsample: subpel_conv/conv/igdn/upsample
+        name = sub[0]
+        if name == "igdn":
+            return (f"{prefix}.igdn.{leaf}", "copy")
+        if name in ("subpel_conv", "upsample"):
+            return resolve_block(f"{prefix}.{name}", "subpel", sub[1:], leaf)
+        return resolve_block(f"{prefix}.conv", "conv", sub[1:], leaf)
+    if kind == "attn":  # AttentionBlock: a_i/b_i ResidualUnits + b_out
+        name = sub[0]
+        if name == "b_out":
+            return resolve_block(f"{prefix}.conv_b.3", "conv", sub[1:], leaf)
+        branch, i = name.split("_")
+        conv_i = _RU_CONV_IDX[sub[1]]
+        return resolve_block(
+            f"{prefix}.conv_{branch}.{i}.conv.{conv_i}", "conv", sub[2:], leaf
+        )
+    if kind == "sft":  # SFT: mlp_shared is Sequential(conv, ReLU)
+        name = sub[0]
+        suffix = ".0" if name == "mlp_shared" else ""
+        return resolve_block(f"{prefix}.{name}{suffix}", "conv", sub[1:], leaf)
+    if kind == "sftres":  # SFTResblk: norm_0/norm_1 SFTs + conv_0/conv_1
+        name = sub[0]
+        if name.startswith("norm_"):
+            return resolve_block(f"{prefix}.{name}", "sft", sub[1:], leaf)
+        return resolve_block(f"{prefix}.{name}", "conv", sub[1:], leaf)
+    raise ValueError(f"unknown layer kind {kind!r} at {prefix}")
+
+
+def sequential_key_map(seq_kinds: Mapping[str, Mapping[int, str]],
+                       top_kinds: Mapping[str, str] = None,
+                       extra=None):
     """Build a key_map for models whose top level is named Sequential stacks.
 
-    seq_kinds: {"g_a": {0: "conv", 2: "conv", ...}, ...} mapping layer index →
-    layer kind for conv-like layers; GDN/EB params are handled generically.
+    seq_kinds: {"g_a": {0: "conv", 2: "rb", ...}, ...} mapping layer index →
+    layer kind (see ``resolve_block``); EB/context_prediction params are
+    handled generically. ``top_kinds``: kinds for top-level modules that are
+    NOT Sequential stacks (bare convs, SFT/SFTResblk blocks — the ROI family's
+    layout). ``extra``: optional callable tried first for model-specific
+    paths (return None to fall through).
     """
 
     def key_map(path):
         if not path:
             return None
+        if extra is not None:
+            spec = extra(path)
+            if spec is not None:
+                return spec
         top = path[0]
+        if top_kinds and top in top_kinds:
+            return resolve_block(top, top_kinds[top], path[1:-1], path[-1])
 
         # EntropyBottleneck params: entropy_bottleneck.{matrixN,biasN,factorN,quantiles}
-        if top == "entropy_bottleneck":
+        if top.startswith("entropy_bottleneck"):
             name = path[1]
             if name == "quantiles":
-                return ("entropy_bottleneck.quantiles", "copy")
-            return (f"entropy_bottleneck._{name}", "copy")
+                return (f"{top}.quantiles", "copy")
+            return (f"{top}._{name}", "copy")
 
         # masked conv context model
         if top == "context_prediction":
@@ -148,19 +262,9 @@ def sequential_key_map(seq_kinds: Mapping[str, Mapping[int, str]]):
         if top in seq_kinds and len(path) >= 2 and path[1].startswith("layers_"):
             idx = int(path[1].split("_")[1])
             kind = seq_kinds[top].get(idx)
-            leafname = path[-1]
-            if kind in ("conv", "deconv"):
-                if leafname == "kernel":
-                    return (f"{top}.{idx}.weight", kind)
-                if leafname == "bias":
-                    return (f"{top}.{idx}.bias", "copy")
-            if kind == "gdn":
-                return (f"{top}.{idx}.{leafname}", "copy")
-            if kind == "subpel":  # Sequential(conv, pixelshuffle) in torch
-                if leafname == "kernel":
-                    return (f"{top}.{idx}.0.weight", "conv")
-                if leafname == "bias":
-                    return (f"{top}.{idx}.0.bias", "copy")
+            if kind is None:
+                return None
+            return resolve_block(f"{top}.{idx}", kind, path[2:-1], path[-1])
         return None
 
     return key_map
@@ -171,6 +275,18 @@ _CONV_GDN_GA = {0: "conv", 1: "gdn", 2: "conv", 3: "gdn", 4: "conv", 5: "gdn",
                 6: "conv"}
 _DECONV_GDN_GS = {0: "deconv", 1: "gdn", 2: "deconv", 3: "gdn", 4: "deconv",
                   5: "gdn", 6: "deconv"}
+# STEM entropy-model stacks (spatiotemporalpriors.py:142-171 and clones)
+_STEM_TPM = {0: "conv", 2: "conv", 4: "conv"}
+_STEM_HE = {0: "conv", 2: "conv", 4: "conv"}
+_STEM_HD = {0: "deconv", 2: "deconv", 4: "conv"}
+_STEM_EPM = {0: "conv", 2: "conv", 4: "conv"}
+# qmap feature pyramids (stem_roi.py:379-429, 473-491): 3-conv head and
+# 2-conv (strided) stages; decoder-side stages upsample with a deconv
+_QMAP3 = {0: "conv", 2: "conv", 4: "conv"}
+_QMAP2 = {0: "conv", 2: "conv"}
+_QMAP2_UP = {0: "deconv", 2: "conv"}
+_CONV_GDN_STAGE = {0: "conv", 1: "gdn"}
+_DECONV_IGDN_STAGE = {0: "deconv", 1: "gdn"}
 
 KEY_MAPS = {
     "bmshj2018-factorized": sequential_key_map(
@@ -207,6 +323,75 @@ KEY_MAPS = {
             "HD": {0: "deconv", 2: "deconv", 4: "conv"},
             "TPM": {0: "conv", 2: "conv", 4: "conv"},
             "EPM": {0: "conv", 2: "conv", 4: "conv"},
+        }
+    ),
+    # stem_baseline / stem_baselinev2 (stem_roi.py:21-348): pixel-domain
+    # P-codec; the v2 ConditionEncoder entry is simply unused by v1 trees.
+    "stem-baseline": sequential_key_map(
+        {
+            "PEncoder": _CONV_GDN_GA,
+            "ConditionEncoder": _CONV_GDN_GA,
+            "PDecoder": _DECONV_GDN_GS,
+            "TPM": _STEM_TPM,
+            "HE": _STEM_HE,
+            "HD": _STEM_HD,
+            "EPM": _STEM_EPM,
+        }
+    ),
+    # stem_roi family (stem_roi.py:353-1325): SFT-conditioned pyramids; one
+    # map serves stem_roi, stem_roi_wo_gsc (no gs*_SFT leaves) and stem_roi_i
+    # (no TPM/ConditionEncoder leaves) — lookups are driven by the flax tree.
+    "stem-roi": sequential_key_map(
+        {
+            "ga1": _CONV_GDN_STAGE, "ga2": _CONV_GDN_STAGE,
+            "ga3": _CONV_GDN_STAGE,
+            "qmap_feature_ga1": _QMAP3, "qmap_feature_ga2": _QMAP2,
+            "qmap_feature_ga3": _QMAP2, "qmap_feature_ga4": _QMAP2,
+            "qmap_feature_ha1": _QMAP3, "qmap_feature_ha2": _QMAP2,
+            "qmap_feature_ha3": _QMAP2,
+            "qmap_feature_gs0": _QMAP3, "qmap_feature_gs1": _QMAP2_UP,
+            "qmap_feature_gs2": _QMAP2_UP, "qmap_feature_gs3": _QMAP2_UP,
+            "hs": _STEM_HD,
+            "wmap_generator": _STEM_HD,
+            "gs1": _DECONV_IGDN_STAGE, "gs2": _DECONV_IGDN_STAGE,
+            "gs3": _DECONV_IGDN_STAGE,
+            "ConditionEncoder": _CONV_GDN_GA,
+            "TPM": _STEM_TPM,
+            "EPM": _STEM_EPM,
+        },
+        top_kinds={
+            "ga4": "conv", "gs4": "deconv",
+            "ha1": "conv", "ha2": "conv", "ha3": "conv",
+            "ga1_SFT": "sft", "ga2_SFT": "sft", "ga3_SFT": "sft",
+            "ha1_SFT": "sft", "ha2_SFT": "sft",
+            "gs1_SFT": "sft", "gs2_SFT": "sft", "gs3_SFT": "sft",
+            "ga4_SFTResB1": "sftres", "ga4_SFTResB2": "sftres",
+            "ha3_ResB1": "sftres", "ha3_ResB2": "sftres",
+            "gs0_SFTResB1": "sftres", "gs0_SFTResB2": "sftres",
+        },
+    ),
+    # Cheng2020 (waseda.py:29-138): residual/attention transforms, 3×3 hyper
+    # pair with subpel upsampling, mbt2018 entropy machinery.
+    "cheng2020-anchor": sequential_key_map(
+        {
+            "g_a": {0: "rbs", 1: "rb", 2: "rbs", 3: "rb", 4: "rbs", 5: "rb",
+                    6: "conv"},
+            "h_a": {0: "conv", 2: "conv", 4: "conv", 6: "conv", 8: "conv"},
+            "h_s": {0: "conv", 2: "subpel", 4: "conv", 6: "subpel", 8: "conv"},
+            "g_s": {0: "rb", 1: "rbu", 2: "rb", 3: "rbu", 4: "rb", 5: "rbu",
+                    6: "rb", 7: "subpel"},
+            "entropy_parameters": {0: "conv", 2: "conv", 4: "conv"},
+        }
+    ),
+    "cheng2020-attn": sequential_key_map(
+        {
+            "g_a": {0: "rbs", 1: "rb", 2: "rbs", 3: "attn", 4: "rb", 5: "rbs",
+                    6: "rb", 7: "conv", 8: "attn"},
+            "h_a": {0: "conv", 2: "conv", 4: "conv", 6: "conv", 8: "conv"},
+            "h_s": {0: "conv", 2: "subpel", 4: "conv", 6: "subpel", 8: "conv"},
+            "g_s": {0: "attn", 1: "rb", 2: "rbu", 3: "rb", 4: "rbu", 5: "attn",
+                    6: "rb", 7: "rbu", 8: "rb", 9: "subpel"},
+            "entropy_parameters": {0: "conv", 2: "conv", 4: "conv"},
         }
     ),
 }

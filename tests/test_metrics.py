@@ -36,25 +36,77 @@ class TestSSIM:
         y = x + jnp.asarray(rng.normal(0, 0.1, x.shape), jnp.float32)
         assert float(ssim(x, x)) > float(ssim(x, y))
 
-    def test_msssim_parity_with_pytorch_msssim(self):
-        try:
-            from pytorch_msssim import ms_ssim as torch_msssim
-        except ImportError:
-            pytest.skip("pytorch_msssim not installed")
+    def test_msssim_parity_with_canonical_torch(self):
+        """Parity vs a torch transcription of pytorch_msssim's exact
+        algorithm (the package the reference evaluates with,
+        stem/evalSTEM.py:16; it is not installed here, so its published
+        computation — separable gaussian filter, per-channel cs/ssim means,
+        relu'd stack, weighted product, final mean — is transcribed below)."""
         import torch
+        import torch.nn.functional as F
+
+        def torch_ms_ssim(x, y, data_range=1.0, win_size=11, win_sigma=1.5):
+            weights = torch.tensor([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])
+            coords = torch.arange(win_size, dtype=torch.float32) - win_size // 2
+            g = torch.exp(-(coords**2) / (2 * win_sigma**2))
+            g /= g.sum()
+            win = g.reshape(1, 1, 1, win_size)
+
+            def gaussian_filter(inp):
+                c = inp.shape[1]
+                out = F.conv2d(inp, win.expand(c, 1, 1, win_size), groups=c)
+                return F.conv2d(
+                    out, win.transpose(2, 3).expand(c, 1, win_size, 1), groups=c
+                )
+
+            def _ssim(X, Y):
+                K1, K2 = 0.01, 0.03
+                C1, C2 = (K1 * data_range) ** 2, (K2 * data_range) ** 2
+                mu1, mu2 = gaussian_filter(X), gaussian_filter(Y)
+                mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+                sigma1_sq = gaussian_filter(X * X) - mu1_sq
+                sigma2_sq = gaussian_filter(Y * Y) - mu2_sq
+                sigma12 = gaussian_filter(X * Y) - mu1_mu2
+                cs_map = (2 * sigma12 + C2) / (sigma1_sq + sigma2_sq + C2)
+                ssim_map = (
+                    (2 * mu1_mu2 + C1) / (mu1_sq + mu2_sq + C1)
+                ) * cs_map
+                return (
+                    ssim_map.flatten(2).mean(-1),
+                    cs_map.flatten(2).mean(-1),
+                )
+
+            mcs = []
+            for i in range(len(weights)):
+                ssim_pc, cs = _ssim(x, y)
+                if i < len(weights) - 1:
+                    mcs.append(F.relu(cs))
+                    padding = [s % 2 for s in x.shape[2:]]
+                    x = F.avg_pool2d(x, kernel_size=2, padding=padding)
+                    y = F.avg_pool2d(y, kernel_size=2, padding=padding)
+            mcs_and_ssim = torch.stack(mcs + [F.relu(ssim_pc)], dim=0)
+            val = torch.prod(mcs_and_ssim ** weights.view(-1, 1, 1), dim=0)
+            return val.mean()
 
         rng = np.random.default_rng(2)
-        a = rng.random((1, 192, 192, 3)).astype(np.float32)
-        b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1).astype(np.float32)
-        ours = float(ms_ssim(jnp.asarray(a), jnp.asarray(b)))
-        theirs = float(
-            torch_msssim(
-                torch.from_numpy(a.transpose(0, 3, 1, 2)),
-                torch.from_numpy(b.transpose(0, 3, 1, 2)),
-                data_range=1.0,
+        # structured "real image"-like pairs: smooth gradient + blocks + noise
+        yy, xx = np.mgrid[0:192, 0:192].astype(np.float32) / 192.0
+        base = np.stack([yy, xx, 0.5 * (xx + yy)], axis=-1)
+        base[40:120, 60:150] += 0.3
+        base = np.clip(base + 0.05 * rng.standard_normal(base.shape), 0, 1)
+        for sigma_n, size in ((0.03, 192), (0.08, 177)):  # incl. odd dims
+            a = base[None, :size, :size].astype(np.float32)
+            b = np.clip(
+                a + rng.normal(0, sigma_n, a.shape), 0, 1
+            ).astype(np.float32)
+            ours = float(ms_ssim(jnp.asarray(a), jnp.asarray(b)))
+            theirs = float(
+                torch_ms_ssim(
+                    torch.from_numpy(a.transpose(0, 3, 1, 2)),
+                    torch.from_numpy(b.transpose(0, 3, 1, 2)),
+                )
             )
-        )
-        np.testing.assert_allclose(ours, theirs, atol=5e-3)
+            np.testing.assert_allclose(ours, theirs, atol=1e-4)
 
     def test_msssim_monotone(self):
         rng = np.random.default_rng(3)

@@ -1,0 +1,525 @@
+"""Live parity vs the ACTUAL reference implementation (/root/reference).
+
+Round 1's torch-parity tests re-derived the reference formulas by hand; these
+run the reference's own code (via tests/reference_oracle.py shims) with
+*shared weights* (random torch init → zoo/convert) and assert:
+
+  * forward likelihoods / bpp agree within the BASELINE.json budget
+    (0.1% bpp / 0.01 dB),
+  * ``update()`` CDF tables match within the reference's own ±2 tolerance
+    (compressai_tests/test_entropy_models.py:305-321),
+  * ``compress`` bitstreams are byte-identical and cross-decodable on the
+    "rans" backend (the reference's CHW symbol order is our wire default).
+
+A shared transcription error can no longer pass silently: the torch side here
+is the unmodified reference source.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+from reference_oracle import (  # noqa: E402
+    load_reference,
+    load_reference_utils,
+    load_stem_roi,
+    to_nchw,
+    to_nhwc,
+    torch_state_dict,
+)
+
+from spatiotemporalentropymodel_tpu import models as jmodels  # noqa: E402
+from spatiotemporalentropymodel_tpu.zoo import (  # noqa: E402
+    KEY_MAPS,
+    convert_state_dict,
+)
+from spatiotemporalentropymodel_tpu.zoo.convert import (  # noqa: E402
+    tables_from_state_dict,
+)
+
+
+def _adopt_ref_tables(ref, ours):
+    """update() the reference and install its shipped tables on our model —
+    the checkpoint-interop path (zoo/convert.py::tables_from_state_dict).
+    Reconstructing tables independently is only pinned to ±2 per side
+    (test_entropy_models.py:305-321), so byte-level stream tests share
+    tables exactly as real checkpoint loading does."""
+    ref.update(force=True)
+    ours.set_tables(
+        tables_from_state_dict(torch_state_dict(ref))
+    )
+
+BPP_RTOL = 1e-3  # BASELINE.json: 0.1% bpp budget
+
+
+@pytest.fixture(scope="module")
+def compressai():
+    return load_reference()
+
+
+def _bpp(likelihoods, num_pixels):
+    total = 0.0
+    for lk in likelihoods.values():
+        total += float(-np.log2(np.asarray(lk)).sum())
+    return total / num_pixels
+
+
+def _table_close(ref_buf, our_arr, name, atol=2):
+    ref_arr = np.asarray(ref_buf)
+    our_arr = np.asarray(our_arr)
+    assert ref_arr.shape == our_arr.shape, (
+        f"{name}: shape {ref_arr.shape} vs {our_arr.shape}"
+    )
+    diff = np.abs(ref_arr.astype(np.int64) - our_arr.astype(np.int64))
+    assert diff.max() <= atol, f"{name}: max |Δ| = {diff.max()}"
+
+
+class TestMeanScaleHyperprior:
+    """Shared-weight MSH: forward, tables, bitstreams (priors.py:316-402)."""
+
+    N, M = 64, 96
+
+    @pytest.fixture(scope="class")
+    def pair(self, compressai):
+        torch.manual_seed(42)
+        ref = compressai.models.MeanScaleHyperprior(self.N, self.M)
+        ref.eval()
+
+        ours = jmodels.MeanScaleHyperprior(self.N, self.M)
+        ours.init(np.zeros((1, 64, 64, 3), np.float32))
+        ours.params = convert_state_dict(
+            torch_state_dict(ref), ours.params, KEY_MAPS["mbt2018-mean"]
+        )
+        return ref, ours
+
+    @pytest.fixture(scope="class")
+    def image(self):
+        rng = np.random.default_rng(7)
+        return rng.random((1, 64, 64, 3), np.float32).astype(np.float32)
+
+    def test_forward_parity(self, pair, image):
+        ref, ours = pair
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(to_nchw(image)))
+        our_out = ours.forward(image, train=False)
+
+        n_pix = image.shape[1] * image.shape[2]
+        ref_bpp = _bpp(
+            {k: v.numpy() for k, v in ref_out["likelihoods"].items()}, n_pix
+        )
+        our_bpp = _bpp(our_out["likelihoods"], n_pix)
+        assert ref_bpp == pytest.approx(our_bpp, rel=BPP_RTOL)
+
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["x_hat"].numpy()),
+            np.asarray(our_out["x_hat"]),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["likelihoods"]["y"].numpy()),
+            np.asarray(our_out["likelihoods"]["y"]),
+            rtol=1e-3,
+            atol=1e-6,
+        )
+
+    def test_update_table_parity(self, pair):
+        """CDF reconstruction within the reference's own ±2
+        (test_entropy_models.py:305-321)."""
+        ref, ours = pair
+        ref.update(force=True)
+        ours.update(force=True)
+
+        gc = ours.tables["gaussian_conditional"]
+        _table_close(
+            ref.gaussian_conditional._quantized_cdf, gc.cdf, "GC cdf"
+        )
+        _table_close(
+            ref.gaussian_conditional._offset, gc.offset, "GC offset", atol=0
+        )
+        _table_close(
+            ref.gaussian_conditional._cdf_length,
+            gc.cdf_length,
+            "GC cdf_length",
+            atol=0,
+        )
+
+        eb = ours.tables["entropy_bottleneck"]
+        _table_close(
+            ref.entropy_bottleneck._quantized_cdf, eb.cdf, "EB cdf"
+        )
+        _table_close(ref.entropy_bottleneck._offset, eb.offset, "EB offset",
+                     atol=0)
+        _table_close(
+            ref.entropy_bottleneck._cdf_length, eb.cdf_length,
+            "EB cdf_length", atol=0,
+        )
+
+    def test_bitstream_parity(self, pair, image):
+        """Byte-identical streams and cross-decodability."""
+        ref, ours = pair
+        ref.update(force=True)
+        ours.update(force=True)
+
+        with torch.no_grad():
+            ref_enc = ref.compress(torch.from_numpy(to_nchw(image)))
+        our_enc = ours.compress(image)
+
+        assert ref_enc["strings"][0] == our_enc["strings"][0], "y stream"
+        assert ref_enc["strings"][1] == our_enc["strings"][1], "z stream"
+
+        # cross-decode: our decoder on the reference's bytes
+        our_dec = ours.decompress(
+            [ref_enc["strings"][0], ref_enc["strings"][1]],
+            tuple(ref_enc["shape"]),
+        )
+        with torch.no_grad():
+            ref_dec = ref.decompress(ref_enc["strings"], ref_enc["shape"])
+        np.testing.assert_allclose(
+            to_nhwc(ref_dec["x_hat"].numpy()),
+            np.asarray(our_dec["x_hat"]),
+            atol=1e-4,
+        )
+
+
+class TestSTEMWithoutSPM:
+    """Shared-weight STEM (parallel variant) on latents
+    (spatiotemporalpriors.py:132-243)."""
+
+    # the reference hard-codes its HE tail / HD head at 256 channels
+    # (spatiotemporalpriors.py:149-164) — only self-consistent at ebc=256
+    EBC, IC = 256, 48
+
+    @pytest.fixture(scope="class")
+    def pair(self, compressai):
+        torch.manual_seed(3)
+        ref = compressai.models.SpatioTemporalPriorModelWithoutSPM(
+            entropy_bottleneck_channels=self.EBC, in_channels=self.IC
+        )
+        ref.eval()
+
+        ours = jmodels.SpatioTemporalPriorModel(
+            variant="without_spm",
+            entropy_bottleneck_channels=self.EBC,
+            in_channels=self.IC,
+        )
+        dummy = np.zeros((1, 8, 8, self.IC), np.float32)
+        ours.init(dummy, dummy)
+        ours.params = convert_state_dict(
+            torch_state_dict(ref), ours.params, KEY_MAPS["stem"]
+        )
+        return ref, ours
+
+    @pytest.fixture(scope="class")
+    def latents(self):
+        rng = np.random.default_rng(11)
+        y_cur = rng.normal(0, 1, (1, 8, 8, self.IC)).astype(np.float32)
+        y_cond = (y_cur + rng.normal(0, 0.3, y_cur.shape)).astype(np.float32)
+        return y_cur, y_cond
+
+    def test_forward_parity(self, pair, latents):
+        ref, ours = pair
+        y_cur, y_cond = latents
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(to_nchw(y_cur)),
+                torch.from_numpy(to_nchw(y_cond)),
+            )
+        our_out = ours.forward(y_cur, y_cond, train=False)
+
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["y_hat"].numpy()),
+            np.asarray(our_out["y_hat"]),
+            atol=1e-4,
+        )
+        n = y_cur.shape[1] * y_cur.shape[2]
+        ref_bpp = _bpp(
+            {k: v.numpy() for k, v in ref_out["likelihoods"].items()}, n
+        )
+        our_bpp = _bpp(our_out["likelihoods"], n)
+        assert ref_bpp == pytest.approx(our_bpp, rel=BPP_RTOL)
+
+    def test_bitstream_parity(self, pair, latents):
+        ref, ours = pair
+        y_cur, y_cond = latents
+        _adopt_ref_tables(ref, ours)
+
+        with torch.no_grad():
+            ref_enc = ref.compress(
+                torch.from_numpy(to_nchw(y_cur)),
+                torch.from_numpy(to_nchw(y_cond)),
+            )
+        our_enc = ours.compress(y_cur, y_cond)
+        assert ref_enc["strings"][0] == our_enc["strings"][0], "y stream"
+        assert ref_enc["strings"][1] == our_enc["strings"][1], "z stream"
+
+        with torch.no_grad():
+            ref_dec = ref.decompress(
+                ref_enc["strings"],
+                ref_enc["shape"],
+                torch.from_numpy(to_nchw(y_cond)),
+            )
+        our_dec = ours.decompress(
+            our_enc["strings"], tuple(our_enc["shape"]), y_cond
+        )
+        ref_y_hat = ref_dec["y_hat"] if isinstance(ref_dec, dict) else ref_dec
+        np.testing.assert_allclose(
+            to_nhwc(ref_y_hat.numpy()),
+            np.asarray(our_dec["y_hat"]),
+            atol=1e-5,
+        )
+
+
+class TestCheng2020Anchor:
+    """Shared-weight Cheng2020 anchor: residual/attention converter coverage
+    + serial-AR bitstream parity (waseda.py:29-96)."""
+
+    N = 64
+
+    @pytest.fixture(scope="class")
+    def pair(self, compressai):
+        torch.manual_seed(9)
+        ref = compressai.models.Cheng2020Anchor(N=self.N)
+        ref.eval()
+
+        ours = jmodels.Cheng2020Anchor(N=self.N, ar_mode="serial")
+        ours.init(np.zeros((1, 64, 64, 3), np.float32))
+        ours.params = convert_state_dict(
+            torch_state_dict(ref), ours.params, KEY_MAPS["cheng2020-anchor"]
+        )
+        return ref, ours
+
+    @pytest.fixture(scope="class")
+    def image(self):
+        rng = np.random.default_rng(13)
+        return rng.random((1, 64, 64, 3), np.float32).astype(np.float32)
+
+    def test_forward_parity(self, pair, image):
+        ref, ours = pair
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(to_nchw(image)))
+        our_out = ours.forward(image, train=False)
+
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["x_hat"].numpy()),
+            np.asarray(our_out["x_hat"]),
+            atol=2e-4,
+        )
+        n_pix = image.shape[1] * image.shape[2]
+        ref_bpp = _bpp(
+            {k: v.numpy() for k, v in ref_out["likelihoods"].items()}, n_pix
+        )
+        our_bpp = _bpp(our_out["likelihoods"], n_pix)
+        assert ref_bpp == pytest.approx(our_bpp, rel=BPP_RTOL)
+
+    def test_bitstream_parity(self, pair, image):
+        ref, ours = pair
+        _adopt_ref_tables(ref, ours)
+        with torch.no_grad():
+            ref_enc = ref.compress(torch.from_numpy(to_nchw(image)))
+        our_enc = ours.compress(image)
+        assert ref_enc["strings"][1] == our_enc["strings"][1], "z stream"
+        assert ref_enc["strings"][0] == our_enc["strings"][0], "y AR stream"
+
+        our_dec = ours.decompress(our_enc["strings"], tuple(our_enc["shape"]))
+        with torch.no_grad():
+            ref_dec = ref.decompress(ref_enc["strings"], ref_enc["shape"])
+        np.testing.assert_allclose(
+            to_nhwc(ref_dec["x_hat"].numpy()),
+            np.asarray(our_dec["x_hat"]),
+            atol=2e-4,
+        )
+
+
+class TestStemBaseline:
+    """Shared-weight stem_baseline (pixel-domain P-codec, stem_roi.py:21-178)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self, compressai):
+        torch.manual_seed(21)
+        # reference hard-codes the HE tail / HD head at 256 (stem_roi.py:53-68)
+        ref = load_stem_roi().stem_baseline(
+            entropy_bottleneck_channels=256, in_channels=48
+        )
+        ref.eval()
+
+        from spatiotemporalentropymodel_tpu.models import StemBaseline
+
+        ours = StemBaseline(entropy_bottleneck_channels=256, in_channels=48)
+        img = np.zeros((1, 64, 64, 3), np.float32)
+        ours.init(img, img)
+        ours.params = convert_state_dict(
+            torch_state_dict(ref), ours.params, KEY_MAPS["stem-baseline"]
+        )
+        return ref, ours
+
+    @pytest.fixture(scope="class")
+    def frames(self):
+        rng = np.random.default_rng(17)
+        x_cur = rng.random((1, 64, 64, 3), np.float32).astype(np.float32)
+        x_cond = np.clip(
+            x_cur + rng.normal(0, 0.03, x_cur.shape), 0, 1
+        ).astype(np.float32)
+        return x_cur, x_cond
+
+    def test_forward_parity(self, pair, frames):
+        ref, ours = pair
+        x_cur, x_cond = frames
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(to_nchw(x_cur)),
+                torch.from_numpy(to_nchw(x_cond)),
+            )
+        our_out = ours.forward(x_cur, x_cond, train=False)
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["x_hat"].numpy()),
+            np.asarray(our_out["x_hat"]),
+            atol=2e-4,
+        )
+        n = x_cur.shape[1] * x_cur.shape[2]
+        ref_bpp = _bpp(
+            {k: v.numpy() for k, v in ref_out["likelihoods"].items()}, n
+        )
+        assert ref_bpp == pytest.approx(
+            _bpp(our_out["likelihoods"], n), rel=BPP_RTOL
+        )
+
+    def test_bitstream_parity(self, pair, frames):
+        ref, ours = pair
+        x_cur, x_cond = frames
+        _adopt_ref_tables(ref, ours)
+        with torch.no_grad():
+            ref_enc = ref.compress(
+                torch.from_numpy(to_nchw(x_cur)),
+                torch.from_numpy(to_nchw(x_cond)),
+            )
+        our_enc = ours.compress(x_cur, x_cond)
+        assert ref_enc["strings"][0] == our_enc["strings"][0], "y stream"
+        assert ref_enc["strings"][1] == our_enc["strings"][1], "z stream"
+
+
+class TestStemROI:
+    """Shared-weight stem_roi (Qmap SFT pyramids, stem_roi.py:353-698) and
+    stem_roi_i (I-frame variant, :1017-1325)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self, compressai):
+        torch.manual_seed(33)
+        ref = load_stem_roi().stem_roi()
+        ref.eval()
+
+        from spatiotemporalentropymodel_tpu.models import StemROI
+
+        ours = StemROI()
+        img = np.zeros((1, 64, 64, 3), np.float32)
+        qmap = np.zeros((1, 64, 64, 1), np.float32)
+        ours.init(img, img, qmap)
+        ours.params = convert_state_dict(
+            torch_state_dict(ref), ours.params, KEY_MAPS["stem-roi"]
+        )
+        return ref, ours
+
+    @pytest.fixture(scope="class")
+    def inputs(self):
+        rng = np.random.default_rng(29)
+        x_cur = rng.random((1, 64, 64, 3), np.float32).astype(np.float32)
+        x_cond = np.clip(
+            x_cur + rng.normal(0, 0.03, x_cur.shape), 0, 1
+        ).astype(np.float32)
+        qmap = rng.random((1, 64, 64, 1), np.float32).astype(np.float32)
+        return x_cur, x_cond, qmap
+
+    def test_forward_parity(self, pair, inputs):
+        ref, ours = pair
+        x_cur, x_cond, qmap = inputs
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(to_nchw(x_cur)),
+                torch.from_numpy(to_nchw(x_cond)),
+                torch.from_numpy(to_nchw(qmap)),
+            )
+        our_out = ours.forward(x_cur, x_cond, qmap, train=False)
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["x_hat"].numpy()),
+            np.asarray(our_out["x_hat"]),
+            atol=5e-4,
+        )
+        n = x_cur.shape[1] * x_cur.shape[2]
+        ref_bpp = _bpp(
+            {k: v.numpy() for k, v in ref_out["likelihoods"].items()}, n
+        )
+        assert ref_bpp == pytest.approx(
+            _bpp(our_out["likelihoods"], n), rel=BPP_RTOL
+        )
+
+    def test_roi_i_forward_parity(self, compressai):
+        torch.manual_seed(41)
+        ref = load_stem_roi().stem_roi_i()
+        ref.eval()
+
+        from spatiotemporalentropymodel_tpu.models import StemROI_I
+
+        ours = StemROI_I()
+        img = np.zeros((1, 64, 64, 3), np.float32)
+        qmap = np.zeros((1, 64, 64, 1), np.float32)
+        ours.init(img, qmap)
+        ours.params = convert_state_dict(
+            torch_state_dict(ref), ours.params, KEY_MAPS["stem-roi"]
+        )
+
+        rng = np.random.default_rng(43)
+        x = rng.random((1, 64, 64, 3), np.float32).astype(np.float32)
+        q = rng.random((1, 64, 64, 1), np.float32).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(to_nchw(x)), torch.from_numpy(to_nchw(q))
+            )
+        our_out = ours.forward(x, q, train=False)
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["x_hat"].numpy()),
+            np.asarray(our_out["x_hat"]),
+            atol=5e-4,
+        )
+        n = x.shape[1] * x.shape[2]
+        ref_bpp = _bpp(
+            {k: v.numpy() for k, v in ref_out["likelihoods"].items()}, n
+        )
+        assert ref_bpp == pytest.approx(
+            _bpp(our_out["likelihoods"], n), rel=BPP_RTOL
+        )
+
+
+class TestEMLossParity:
+    """EMLoss normalization vs the reference recipe (utils.py:8-27 called
+    with the *image* target, trainSTEM.py:211 — the ADVICE round-1 finding)."""
+
+    def test_em_loss_matches_reference(self, compressai):
+        ref_utils = load_reference_utils()
+        from spatiotemporalentropymodel_tpu.training.losses import em_loss
+
+        rng = np.random.default_rng(5)
+        y_lk = rng.uniform(0.05, 1.0, (2, 4, 4, 8)).astype(np.float32)
+        z_lk = rng.uniform(0.05, 1.0, (2, 2, 2, 4)).astype(np.float32)
+        image = rng.random((2, 64, 64, 3), np.float32)  # 16× the 4×4 latent
+
+        criterion = ref_utils.EMLoss()
+        ref_out = criterion(
+            {
+                "likelihoods": {
+                    "y": torch.from_numpy(to_nchw(y_lk)),
+                    "z": torch.from_numpy(to_nchw(z_lk)),
+                }
+            },
+            torch.from_numpy(to_nchw(image)),
+        )
+        ours = em_loss(
+            {"likelihoods": {"y": y_lk, "z": z_lk}},
+            y_lk,  # latent target, ×16 upscale → image-pixel normalization
+        )
+        assert float(ref_out["loss"]) == pytest.approx(
+            float(ours["loss"]), rel=1e-5
+        )
+        assert float(ref_out["y_bpp_loss"]) == pytest.approx(
+            float(ours["y_bpp_loss"]), rel=1e-5
+        )
