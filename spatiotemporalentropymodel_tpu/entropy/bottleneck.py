@@ -162,6 +162,32 @@ def _np_logits_cumulative(params, x):
     return logits
 
 
+def solve_quantiles(params, tail_mass: float = 1e-9) -> np.ndarray:
+    """Directly solve the aux objective: logits(q) = (−t, 0, +t) per channel.
+
+    The reference trains the quantiles by SGD on
+    ``|logits(quantiles) − target|`` with a separate Adam
+    (entropy_models.py:383-386, utils.py:104-135). The logits chain is
+    strictly monotone in x, so the optimum has a closed form by bisection —
+    this converges the aux loss to ~0 in one host call (float64, ~90
+    iterations). Returns a (C, 1, 3) array to store as the ``quantiles``
+    param before ``update_tables``.
+    """
+    target = np.log(2.0 / tail_mass - 1.0)
+    targets = np.array([-target, 0.0, target], np.float64)
+
+    c = np.asarray(params["bias0"]).shape[0]
+    lo = np.full((c, 1, 3), -1e4, np.float64)
+    hi = np.full((c, 1, 3), 1e4, np.float64)
+    for _ in range(90):
+        mid = 0.5 * (lo + hi)
+        val = _np_logits_cumulative(params, mid)
+        too_low = val < targets[None, None, :]
+        lo = np.where(too_low, mid, lo)
+        hi = np.where(too_low, hi, mid)
+    return 0.5 * (lo + hi)
+
+
 def update_tables(params, precision: int = 16) -> CodecTables:
     """Build coding tables from an EntropyBottleneck param subtree.
 

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..entropy import base as entropy_base
+from ..entropy import transport
 
 
 class StemVideoPipeline:
@@ -27,21 +28,34 @@ class StemVideoPipeline:
 
     Construct AFTER the models' final params and ``update()`` — the jitted
     stages capture both at build time; rebuild the pipeline if they change.
+
+    ``transport="sparse"`` (default) ships symbols as bitmask + compacted
+    int8 nonzeros in grouped-by-CDF-row order (~8× fewer bytes over the
+    host link; entropy/transport.py) and falls back to the dense int16
+    format automatically when a frame overflows int8. ``"dense"`` keeps the
+    dense format whose y/z streams are byte-identical to the model APIs'.
     """
 
-    def __init__(self, i_model, stem):
+    def __init__(self, i_model, stem, transport_mode: str = "sparse"):
         if stem.use_spm:
             raise ValueError(
                 "StemVideoPipeline drives the parallel (non-SPM) codec path; "
                 "use the model's wavefront codec for SPM variants"
             )
+        if transport_mode not in ("sparse", "dense"):
+            raise ValueError(f"unknown transport {transport_mode!r}")
         self.i_model = i_model
         self.stem = stem
+        self.transport_mode = transport_mode
         stem._require_tables()
 
         def encode_fn(x, y_cond):
             y_cur = i_model._apply(x, method="analysis")[0]
             return y_cur, stem.fused_encode_expr(y_cur, y_cond)
+
+        def encode_sparse_fn(x, y_cond):
+            y_cur = i_model._apply(x, method="analysis")[0]
+            return y_cur, stem.fused_encode_sparse_expr(y_cur, y_cond)
 
         def analysis_fn(x):
             return i_model._apply(x, method="analysis")[0]
@@ -49,28 +63,32 @@ class StemVideoPipeline:
         def params_fn(z_sym, y_cond):
             return stem.fused_params_expr(z_sym, y_cond)
 
+        def params_sparse_fn(z_sym, y_cond):
+            return stem.fused_params_sparse_expr(z_sym, y_cond)
+
         def finish_fn(y_sym, means, y_cond):
             y_hat = stem.fused_reconstruct_expr(y_sym, means, y_cond)
             return y_hat, i_model._apply(y_hat, method="get_x")
 
+        def finish_sparse_fn(maskbits, values, order, means, y_cond):
+            y_hat = stem.fused_reconstruct_sparse_expr(
+                maskbits, values, order, means, y_cond
+            )
+            return y_hat, i_model._apply(y_hat, method="get_x")
+
         self._encode = jax.jit(encode_fn)
+        self._encode_sparse = jax.jit(encode_sparse_fn)
         self._analysis = jax.jit(analysis_fn)
         self._params = jax.jit(params_fn)
+        self._params_sparse = jax.jit(params_sparse_fn)
         self._finish = jax.jit(finish_fn)
+        self._finish_sparse = jax.jit(finish_sparse_fn)
 
     # -- encoder side ---------------------------------------------------------
 
-    def encode_frame(self, x, y_cond) -> Tuple[dict, jnp.ndarray]:
-        """x (B, H, W, 3) image, y_cond device-resident conditioning latent.
-
-        Returns (enc dict with strings/shape, y_cur latent for carry use).
-        One device dispatch + one packed download + host rANS.
-        """
-        y_cur, packed = self._encode(x, y_cond)
-        packed = np.asarray(packed)
-
-        b, hgt, wid, m = y_cur.shape
-        zh, zw = hgt // 4, wid // 4
+    def _code_dense_buffer(self, packed, shape4):
+        b, hgt, wid, m = shape4
+        zh, zw = -(-hgt // 4), -(-wid // 4)
         zt = self.stem.tables["entropy_bottleneck"]
         zc = zt.rows
         ny = b * hgt * wid * m
@@ -89,23 +107,103 @@ class StemVideoPipeline:
             y_sym.astype(np.int32), idx,
             self.stem.tables["gaussian_conditional"], self.stem.coder,
         )
-        return (
-            {"strings": [y_strings, z_strings], "shape": (zh, zw)},
-            y_cur,
+        return {
+            "strings": [y_strings, z_strings],
+            "shape": (zh, zw),
+            "transport": "dense",
+        }
+
+    def _sparse_layout(self, shape4) -> transport.SparseLayout:
+        b, hgt, wid, m = shape4
+        zt = self.stem.tables["entropy_bottleneck"]
+        gc = self.stem.tables["gaussian_conditional"]
+        return transport.SparseLayout(
+            b=b,
+            n=hgt * wid * m,
+            zn=(-(-hgt // 4)) * (-(-wid // 4)) * zt.rows,
+            levels=int(gc.scale_table.shape[0]),
         )
+
+    def code_sparse_buffer(self, packed, shape4):
+        """Host half of the sparse encode: buffer → enc dict (or None on
+        int8/capacity overflow — caller re-encodes dense)."""
+        layout = self._sparse_layout(shape4)
+        planes = transport.unpack_encode(packed, layout)
+        if planes.overflow:
+            return None
+        b, hgt, wid, m = shape4
+        zh, zw = -(-hgt // 4), -(-wid // 4)
+        zt = self.stem.tables["entropy_bottleneck"]
+        z_idx = entropy_base.bottleneck_indexes((b, zh, zw, zt.rows), zt.rows)
+        z_strings = entropy_base.compress(
+            planes.z_sym.reshape(b, zh, zw, zt.rows), z_idx, zt,
+            self.stem.coder,
+        )
+        y_strings = transport.encode_grouped(
+            planes.y_sorted, planes.counts,
+            self.stem.tables["gaussian_conditional"], self.stem.coder,
+        )
+        return {
+            "strings": [y_strings, z_strings],
+            "shape": (zh, zw),
+            "transport": "sparse",
+        }
+
+    def encode_frame(self, x, y_cond) -> Tuple[dict, jnp.ndarray]:
+        """x (B, H, W, 3) image, y_cond device-resident conditioning latent.
+
+        Returns (enc dict with strings/shape/transport, y_cur latent for
+        carry use). One device dispatch + one packed download + host rANS.
+        """
+        if self.transport_mode == "sparse":
+            y_cur, packed = self._encode_sparse(x, y_cond)
+            enc = self.code_sparse_buffer(np.asarray(packed), y_cur.shape)
+            if enc is not None:
+                return enc, y_cur
+            # overflow → dense fallback (rare; diverged/untrained models)
+        y_cur, packed = self._encode(x, y_cond)
+        return self._code_dense_buffer(np.asarray(packed), y_cur.shape), y_cur
 
     # -- decoder side ---------------------------------------------------------
 
-    def decode_frame(self, strings, shape, y_cond):
-        """Returns (x_hat, y_hat); y_hat is the next frame's conditioning.
-
-        Two device dispatches + one upload + one download + host rANS.
+    def decode_frame(self, enc_or_strings, shape=None, y_cond=None):
+        """decode_frame(enc, y_cond=...) or decode_frame(strings, shape,
+        y_cond). Returns (x_hat, y_hat); y_hat is the next frame's
+        conditioning. Two device dispatches + host rANS; sparse transport
+        moves only the 256-byte counts vector device→host.
         """
+        if isinstance(enc_or_strings, dict):
+            strings = enc_or_strings["strings"]
+            shape = enc_or_strings["shape"]
+            mode = enc_or_strings.get("transport", "dense")
+        else:
+            strings = enc_or_strings
+            mode = "dense"
         zt = self.stem.tables["entropy_bottleneck"]
         z_idx = entropy_base.bottleneck_indexes(
             (len(strings[1]), *shape, zt.rows), zt.rows
         )
         z_sym = entropy_base.decompress(strings[1], z_idx, zt, self.stem.coder)
+
+        if mode == "sparse":
+            counts, order, means = self._params_sparse(
+                jnp.asarray(z_sym.astype(np.int8)), y_cond
+            )
+            counts = np.asarray(counts)
+            y_sorted = transport.decode_grouped(
+                strings[0], counts,
+                self.stem.tables["gaussian_conditional"], self.stem.coder,
+            )
+            cap = transport.SparseLayout(
+                b=y_sorted.shape[0], n=y_sorted.shape[1], zn=0, levels=1
+            ).cap
+            maskbits, values = transport.pack_decode_payload(y_sorted, cap)
+            y_hat, x_hat = self._finish_sparse(
+                jnp.asarray(maskbits), jnp.asarray(values), order, means,
+                y_cond,
+            )
+            return x_hat, y_hat
+
         means, idx = self._params(jnp.asarray(z_sym.astype(np.int16)), y_cond)
         y_sym = entropy_base.decompress(
             strings[0], np.asarray(idx, np.int32),

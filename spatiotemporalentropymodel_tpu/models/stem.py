@@ -308,6 +308,156 @@ class SpatioTemporalPriorModel(CompressionModel):
         target_hat = y_sym.astype(jnp.float32) + means
         return target_hat + y_cond if self.residual else target_hat
 
+    # ---- sparse-grouped transport -------------------------------------------
+    #
+    # At production operating points (0.08-0.16 bpp, README.md:115-119) the
+    # vast majority of y symbols are 0 and the host coder is bandwidth-bound
+    # through remote/PCIe links. This transport sorts symbols by CDF row on
+    # device and ships (bitmask + compacted nonzero int8 values + 64 row
+    # counts) instead of dense int16 planes — ~8× fewer bytes — and the
+    # decoder needs only the 256-byte counts vector D2H instead of the full
+    # index plane (it recomputes indexes from ẑ on device). Wire format:
+    # grouped-by-row symbol order (a pipeline fast format; the model APIs
+    # keep the reference's CHW order).
+
+    _I8_LIM = 127
+
+    @staticmethod
+    def _sparse_capacity(n: int) -> int:
+        return n // 4
+
+    def fused_encode_sparse_expr(self, y_cur, y_cond):
+        """(y_cur, y_cond) → ONE packed u8 transport buffer.
+
+        Layout per whole batch (b elements, n = h·w·M symbols and
+        zn = zh·zw·zc each, L scale levels, C = n//4):
+          [y bitmask  b·n/8  u8, little-endian bits over the SORTED plane]
+          [y values   b·C    i8, compacted nonzeros of the sorted plane]
+          [counts     b·L    i32, symbols per CDF row]
+          [z_sym      b·zn   i8]
+          [meta       b·2    i32: (nonzero count, overflow flag)]
+        overflow = any |symbol| > 127 or nonzeros > C → the host must fall
+        back to the dense int16 path (entropy/transport.py::unpack_encode).
+        """
+        table = self.tables["gaussian_conditional"].scale_table
+        medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
+                              jnp.float32)
+        from ..ops import pallas_kernels as pk
+
+        y_cur_c, y_cond_c = self._cast(y_cur), self._cast(y_cond)
+        z = self._apply(y_cur_c, y_cond_c, method="hyper_encode")
+        z32 = z.astype(jnp.float32)
+        lim = float(self._I8_LIM)
+        z_sym_raw = jnp.round(z32 - medians)
+        z_over = jnp.any(jnp.abs(z_sym_raw) > lim)
+        z_sym = jnp.clip(z_sym_raw, -lim, lim).astype(jnp.int8)
+        z_hat = self._cast(z_sym.astype(jnp.float32) + medians)
+        scales, means = self._apply(z_hat, y_cond_c, method="entropy_params")
+        target = (
+            jnp.asarray(y_cur, jnp.float32) - jnp.asarray(y_cond, jnp.float32)
+            if self.residual
+            else jnp.asarray(y_cur, jnp.float32)
+        )
+        y_sym, idx = pk.quantize_and_index(
+            target, means.astype(jnp.float32), scales.astype(jnp.float32),
+            table,
+        )
+
+        b = y_sym.shape[0]
+        n = y_sym.size // b
+        levels = int(table.shape[0])
+        cap = self._sparse_capacity(n)
+
+        y_flat = y_sym.reshape(b, n)
+        idx_flat = idx.reshape(b, n).astype(jnp.int32)
+        y_over = jnp.any(jnp.abs(y_flat) > self._I8_LIM, axis=-1)
+
+        order = jnp.argsort(idx_flat, axis=-1)  # stable in JAX
+        y_sorted = jnp.take_along_axis(y_flat, order, axis=-1)
+        y_sorted = jnp.clip(y_sorted, -self._I8_LIM, self._I8_LIM).astype(
+            jnp.int8
+        )
+        mask = y_sorted != 0
+        nz = mask.sum(axis=-1, dtype=jnp.int32)
+        pos = jnp.cumsum(mask, axis=-1, dtype=jnp.int32) - 1
+        pos = jnp.where(mask & (pos < cap), pos, cap)  # overflow → dump slot
+        values = (
+            jnp.zeros((b, cap + 1), jnp.int8)
+            .at[jnp.arange(b)[:, None], pos]
+            .set(y_sorted)[:, :cap]
+        )
+        counts = jax.vmap(lambda r: jnp.bincount(r, length=levels))(idx_flat)
+
+        bits = mask.reshape(b, n // 8, 8).astype(jnp.uint32)
+        maskbits = jnp.sum(
+            bits << jnp.arange(8, dtype=jnp.uint32), axis=-1
+        ).astype(jnp.uint8)
+
+        overflow = (y_over | (nz > cap) | z_over).astype(jnp.int32)
+        meta = jnp.stack([nz, overflow], axis=-1)  # (b, 2) i32
+
+        as_u8 = lambda v: jax.lax.bitcast_convert_type(v, jnp.uint8).reshape(-1)  # noqa: E731
+        return jnp.concatenate([
+            maskbits.reshape(-1),
+            as_u8(values),
+            as_u8(counts.astype(jnp.int32)),
+            as_u8(z_sym),
+            as_u8(meta),
+        ])
+
+    def fused_params_sparse_expr(self, z_sym, y_cond):
+        """Decoder-side (z_sym i8, y_cond) → (counts i32, order i32, means).
+
+        Only `counts` (b·L·4 bytes) needs to cross to the host; `order` and
+        `means` stay device-resident for fused_reconstruct_sparse_expr.
+        """
+        table = self.tables["gaussian_conditional"].scale_table
+        medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
+                              jnp.float32)
+        z_hat = self._cast(z_sym.astype(jnp.float32) + medians)
+        scales, means = self._apply(
+            z_hat, self._cast(y_cond), method="entropy_params"
+        )
+        means = means.astype(jnp.float32)
+        idx = build_indexes(scales.astype(jnp.float32), table)
+        b = idx.shape[0]
+        n = idx.size // b
+        idx_flat = idx.reshape(b, n).astype(jnp.int32)
+        levels = int(table.shape[0])
+        counts = jax.vmap(lambda r: jnp.bincount(r, length=levels))(idx_flat)
+        order = jnp.argsort(idx_flat, axis=-1)
+        return counts.astype(jnp.int32), order, means
+
+    def fused_reconstruct_sparse_expr(self, maskbits, values, order, means,
+                                      y_cond):
+        """(bitmask u8, compacted values i8, order, means) → ŷ.
+
+        Inverts the sparse transport on device: unpack bits → gather the
+        compacted values via the mask's prefix sum → scatter back to spatial
+        order through `order`.
+        """
+        b = means.shape[0]
+        n = means.size // b
+        cap = values.shape[1]
+        bits = (
+            (maskbits.reshape(b, n // 8, 1) >> jnp.arange(8, dtype=jnp.uint8))
+            & 1
+        )
+        mask = bits.reshape(b, n).astype(bool)
+        cums = jnp.cumsum(mask, axis=-1, dtype=jnp.int32)
+        gathered = jnp.take_along_axis(
+            values, jnp.clip(cums - 1, 0, cap - 1), axis=-1
+        )
+        y_sorted = jnp.where(mask, gathered, jnp.int8(0))
+        y_flat = (
+            jnp.zeros((b, n), jnp.int32)
+            .at[jnp.arange(b)[:, None], order]
+            .set(y_sorted.astype(jnp.int32))
+        )
+        y_sym = y_flat.reshape(means.shape)
+        target_hat = y_sym.astype(jnp.float32) + means
+        return target_hat + y_cond if self.residual else target_hat
+
     def _fused_encode_fn(self):
         return self._jitted("fused_encode", self.fused_encode_expr)
 

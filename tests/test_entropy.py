@@ -181,3 +181,43 @@ class TestCodecTables:
         np.testing.assert_array_equal(
             lut2, coder.build_lut(t2.cdf, t2.cdf_length)
         )
+
+
+class TestSolveQuantiles:
+    def test_closed_form_aux_solution(self):
+        """solve_quantiles drives |logits(q) − target| to ~0 — the optimum
+        the reference's separate aux Adam descends toward
+        (entropy_models.py:383-386)."""
+        import jax
+        import jax.numpy as jnp
+
+        from spatiotemporalentropymodel_tpu.entropy import EntropyBottleneck
+        from spatiotemporalentropymodel_tpu.entropy.bottleneck import (
+            _np_logits_cumulative,
+            solve_quantiles,
+        )
+
+        eb = EntropyBottleneck(8)
+        params = eb.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 4, 4, 8)),
+            train=False,
+        )["params"]
+        params = jax.tree_util.tree_map(np.asarray, params)
+        # a well-conditioned logits chain (positive softplus weights)
+        for k in list(params):
+            if k.startswith("matrix"):
+                params[k] = np.full_like(params[k], np.log(np.expm1(0.8)))
+
+        tail_mass = 1e-9
+        q = solve_quantiles(params, tail_mass)
+        target = np.log(2.0 / tail_mass - 1.0)
+        logits = _np_logits_cumulative(params, q)
+        np.testing.assert_allclose(
+            logits[:, 0, :],
+            np.tile([-target, 0.0, target], (8, 1)),
+            atol=1e-6,
+        )
+        # monotone: lower tail < median < upper tail
+        assert (q[:, 0, 0] < q[:, 0, 1]).all()
+        assert (q[:, 0, 1] < q[:, 0, 2]).all()
