@@ -294,6 +294,11 @@ def run_wavefront(budget_left) -> dict:
     sigma = 0.2
     y_cur = y_cond + sigma * jax.random.normal(jax.random.PRNGKey(6), y_shape)
 
+    # warm the jits (wavefront scan compiles are minutes through the tunnel)
+    enc = stem.compress(y_cur, y_cond)
+    dec = stem.decompress(enc["strings"], tuple(enc["shape"]), y_cond)
+    jax.block_until_ready(dec["y_hat"])
+
     t0 = time.perf_counter()
     enc = stem.compress(y_cur, y_cond)
     enc_t = time.perf_counter() - t0
@@ -353,15 +358,22 @@ def pcie_projection(pipe_res, device_res) -> dict:
         / (PCIE_GBPS * 1e9) * 1e3
     )
     dispatch_ms = 0.3  # ~100 µs × 3 dispatches, PCIe-local
-    frame_ms = max(dev_ms, host_ms) + xfer_ms + dispatch_ms
+    frame_1core = max(dev_ms, host_ms) + xfer_ms + dispatch_ms
+    # the interleaved-lane coder parallelizes across cores; this box has ONE
+    # core (coders/build threading benches flat here) — a serving host has
+    # many. 8 lanes is conservative for the measured per-core throughput.
+    host_8core = host_ms / 8.0
+    frame_8core = max(dev_ms, host_8core) + xfer_ms + dispatch_ms
     return {
         "assumptions": f"PCIe {PCIE_GBPS:.0f} GB/s, host coder overlapped "
                        "with device compute (double-buffered), measured "
-                       "components",
+                       "components; this box has 1 CPU core — serving hosts "
+                       "run the interleaved rANS lanes in parallel",
         "device_ms": dev_ms,
-        "host_coder_ms": round(host_ms, 2),
+        "host_coder_ms_1core": round(host_ms, 2),
         "transfer_ms": round(xfer_ms, 3),
-        "projected_fps": round(1e3 / frame_ms, 1),
+        "projected_fps_1core_host": round(1e3 / frame_1core, 1),
+        "projected_fps_8core_host": round(1e3 / frame_8core, 1),
     }
 
 

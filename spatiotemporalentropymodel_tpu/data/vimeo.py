@@ -67,12 +67,18 @@ class VimeoSepTuplet:
             return self.rng.randint(0, h - cs), self.rng.randint(0, w - cs)
         return int(round((h - cs) / 2)), int(round((w - cs) / 2))
 
+    def _frame_path(self, seq: str, i: int) -> str:
+        # Vimeo90k (and the reference loader, dataset_vidseq.py:60-66) names
+        # frames im1.png..im7.png; f%03d.png kept for legacy fixtures
+        p = os.path.join(self.image_root, seq, f"im{i}.png")
+        if os.path.exists(p):
+            return p
+        return os.path.join(self.image_root, seq, f"f{i:03d}.png")
+
     def __getitem__(self, index: int) -> np.ndarray:
         seq = self.seqlist[index]
-        frames = [
-            _load_image(os.path.join(self.image_root, seq, f"f{i:03d}.png"))
-            for i in range(1, 8)
-        ]
+        frames = [self._frame_path(seq, i) for i in range(1, 8)]
+        frames = [_load_image(p) for p in frames]
         h, w = frames[0].shape[:2]
         top, left = self._crop_params(h, w)
         cs = self.cropsize

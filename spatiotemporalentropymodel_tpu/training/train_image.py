@@ -36,10 +36,14 @@ def _synthetic_batches(config, seed=0):
         )
 
 
-def train_image(config: TrainImageConfig, max_steps: Optional[int] = None):
+def train_image(config: TrainImageConfig, max_steps: Optional[int] = None,
+                model=None):
+    """`model`: optional pre-built CompressionModel (overrides the zoo
+    lookup — e.g. CPU-sized nets for the RD-sweep artifact tooling)."""
     rng = jax.random.PRNGKey(config.seed)
 
-    model = create_model(config.model, config.quality)
+    if model is None:
+        model = create_model(config.model, config.quality)
     example = jnp.zeros((1, config.cropsize, config.cropsize, 3))
     model.init(example)
     params = model.params
@@ -93,6 +97,9 @@ def train_image(config: TrainImageConfig, max_steps: Optional[int] = None):
         metric=float(metrics.get("loss", np.inf)),
     )
     logger.close()
+    model.params = state.params if mesh is None else jax.device_get(
+        state.params
+    )
     return state, metrics
 
 

@@ -93,12 +93,16 @@ def latents_fn(i_model):
     return jax.jit(fn, static_argnums=(3,))
 
 
-def train_stem(config: TrainStemConfig, max_steps: Optional[int] = None):
-    """Run training; returns (state, final metrics). max_steps for tests."""
+def train_stem(config: TrainStemConfig, max_steps: Optional[int] = None,
+               i_model=None):
+    """Run training; returns (state, final metrics). max_steps for tests.
+    `i_model`: optional pre-built frozen I-frame codec (overrides the zoo
+    lookup — e.g. a just-trained CPU-sized model in the RD-sweep tooling)."""
     rng = jax.random.PRNGKey(config.seed)
     pyrandom = random.Random(config.seed)
 
-    i_model = build_i_model(config)
+    if i_model is None:
+        i_model = build_i_model(config)
     get_latents = latents_fn(i_model)
 
     stem = STEMModule(

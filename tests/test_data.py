@@ -143,3 +143,26 @@ class TestColorTransforms:
         assert u.shape == (1, 16, 16, 1)
         out = yuv_420_to_444((y, u, v))
         assert out.shape == (1, 32, 32, 3)
+
+
+class TestThreadedBatcher:
+    def test_workers_match_serial(self):
+        """Threaded decode must reproduce the serial path exactly —
+        same batch order, same contents (data/pipeline.py workers>0)."""
+        rng = np.random.default_rng(0)
+        data = rng.random((37, 5, 4, 3)).astype(np.float32)
+
+        class DS:
+            def __len__(self):
+                return len(data)
+
+            def __getitem__(self, i):
+                return data[i]
+
+        from spatiotemporalentropymodel_tpu.data.pipeline import batch_iterator
+
+        serial = list(batch_iterator(DS(), 4, seed=3, epochs=2))
+        threaded = list(batch_iterator(DS(), 4, seed=3, epochs=2, workers=3))
+        assert len(serial) == len(threaded)
+        for a, b in zip(serial, threaded):
+            np.testing.assert_array_equal(a, b)
