@@ -163,60 +163,65 @@ def run_pipeline(batch: int) -> dict:
     n_bytes = sum(len(s) for g in enc["strings"] for s in g)
     bpp = n_bytes * 8 / (batch * H * W)
 
-    stages = {"fetch": [], "host_enc": [], "dec_z": [], "dec_params": [],
-              "dec_y": [], "dec_finish": []}
-    iters = max(24 // batch, 6)
+    from spatiotemporalentropymodel_tpu.entropy import base as eb
+    from spatiotemporalentropymodel_tpu.entropy import transport as tp
 
-    fetcher = ThreadPoolExecutor(1)
-    fut = fetcher.submit(lambda a: np.asarray(a), bench_encode(x, y_cond, key))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        nxt = bench_encode(x, y_cond, key)  # async device dispatch
-        fut_next = fetcher.submit(lambda a: np.asarray(a), nxt)
+    zt = stem.tables["entropy_bottleneck"]
+    gc_tables = stem.tables["gaussian_conditional"]
+    z_idx = eb.bottleneck_indexes((batch, H // 64, W // 64, zt.rows), zt.rows)
 
+    def decode(enc, sync: bool, stages=None):
+        """Sparse decode; with sync=False the finish dispatch is left in the
+        device queue (a GOP consumer only needs ŷ on device — per-frame host
+        syncs are a timing artifact, not a pipeline requirement)."""
         t = time.perf_counter()
-        buf = fut.result()
-        stages["fetch"].append(time.perf_counter() - t)
-
-        t = time.perf_counter()
-        enc = encode_host(buf)
-        stages["host_enc"].append(time.perf_counter() - t)
-
-        # decode (timed in stages inside)
-        from spatiotemporalentropymodel_tpu.entropy import base as eb
-        from spatiotemporalentropymodel_tpu.entropy import transport as tp
-
-        zt = stem.tables["entropy_bottleneck"]
-        t = time.perf_counter()
-        z_idx = eb.bottleneck_indexes(
-            (batch, *enc["shape"], zt.rows), zt.rows
-        )
         z_sym = eb.decompress(enc["strings"][1], z_idx, zt, stem.coder)
-        stages["dec_z"].append(time.perf_counter() - t)
-
+        if stages is not None:
+            stages["dec_z"].append(time.perf_counter() - t)
         t = time.perf_counter()
         counts, order, means = pipe._params_sparse(
             jnp.asarray(z_sym.astype(np.int8)), y_cond
         )
         counts = np.asarray(counts)
-        stages["dec_params"].append(time.perf_counter() - t)
-
+        if stages is not None:
+            stages["dec_params"].append(time.perf_counter() - t)
         t = time.perf_counter()
-        y_sorted = tp.decode_grouped(
-            enc["strings"][0], counts, stem.tables["gaussian_conditional"],
-            stem.coder,
-        )
+        y_sorted = tp.decode_grouped(enc["strings"][0], counts, gc_tables,
+                                     stem.coder)
         maskbits, values = tp.pack_decode_payload(y_sorted, layout.cap)
-        stages["dec_y"].append(time.perf_counter() - t)
-
+        if stages is not None:
+            stages["dec_y"].append(time.perf_counter() - t)
         t = time.perf_counter()
         y_hat, x_hat = pipe._finish_sparse(
             jnp.asarray(maskbits), jnp.asarray(values), order, means, y_cond
         )
-        jax.block_until_ready(x_hat)
-        stages["dec_finish"].append(time.perf_counter() - t)
+        if sync:
+            jax.block_until_ready(x_hat)
+        if stages is not None:
+            stages["dec_finish"].append(time.perf_counter() - t)
+        return x_hat, counts, maskbits, values, z_sym
 
+    # instrumented pass (with per-stage syncs) for the breakdown
+    stages = {"fetch": [0.0], "host_enc": [], "dec_z": [], "dec_params": [],
+              "dec_y": [], "dec_finish": []}
+    t = time.perf_counter()
+    enc = encode_host(np.asarray(bench_encode(x, y_cond, key)))
+    stages["host_enc"].append(time.perf_counter() - t)
+    _, counts, maskbits, values, z_sym = decode(enc, sync=True, stages=stages)
+
+    # throughput pass: double-buffered encode fetch, no per-frame sync
+    iters = max(24 // batch, 6)
+    fetcher = ThreadPoolExecutor(1)
+    fut = fetcher.submit(lambda a: np.asarray(a), bench_encode(x, y_cond, key))
+    t0 = time.perf_counter()
+    x_hat = None
+    for _ in range(iters):
+        nxt = bench_encode(x, y_cond, key)  # async device dispatch
+        fut_next = fetcher.submit(lambda a: np.asarray(a), nxt)
+        enc = encode_host(fut.result())
+        x_hat, *_ = decode(enc, sync=False)
         fut = fut_next
+    jax.block_until_ready(x_hat)
     elapsed = time.perf_counter() - t0
     fut.result()
     fetcher.shutdown()
