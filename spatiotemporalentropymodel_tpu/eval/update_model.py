@@ -9,19 +9,41 @@ import argparse
 import hashlib
 import os
 
+import jax
 import jax.numpy as jnp
 
 from ..training.checkpoints import load_checkpoint, save_checkpoint
 
 
 def update_checkpoint(model, in_path: str, out_dir: str,
-                      name: str = "model") -> str:
-    """Rebuild tables and export {name}-{sha256[:8]}.pkl; returns the path."""
+                      name: str = "model", solve_aux: bool = True) -> str:
+    """Rebuild tables and export {name}-{sha256[:8]}.pkl; returns the path.
+
+    ``solve_aux`` (beyond-reference): converge every EntropyBottleneck's
+    quantiles to the exact aux-loss optimum in closed form
+    (entropy/bottleneck.solve_quantiles) before building tables — the aux
+    Adam only approximates this, and under-converged quantiles inflate the
+    CDF tail buckets (wasted rate on every encoded frame).
+    """
+    import numpy as np
+
     state = load_checkpoint(in_path)
     if "model" in state:
         model.load_state_dict(state["model"])
     elif "train_state" in state:
         model.params = state["train_state"][0]
+    if solve_aux:
+        from ..entropy.bottleneck import solve_quantiles
+
+        params = jax.tree_util.tree_map(np.asarray, model.params)
+        for bn in model.bottleneck_names:
+            sub = params
+            for part in bn.split("/"):
+                sub = sub[part]
+            q = solve_quantiles(sub)
+            if np.all(np.abs(q) < 9e3):  # bracket hit → keep trained values
+                sub["quantiles"] = q.astype(np.float32)
+        model.params = jax.tree_util.tree_map(jnp.asarray, params)
     model.update(force=True)
 
     os.makedirs(out_dir, exist_ok=True)

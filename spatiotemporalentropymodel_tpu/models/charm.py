@@ -191,8 +191,148 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
 
         return self._jitted("fused_encode", fn)
 
-    def compress(self, y_cur, y_conditioned) -> Dict[str, Any]:
+    def _fused_encode_sparse_fn(self):
+        """Sparse-grouped encode: ONE dispatch → transport buffer with the
+        composite key (group·levels + CDF row) sort, so per-group wire
+        segments are contiguous and the host never downloads index planes
+        (entropy/transport.py design)."""
+        table = self.tables["gaussian_conditional"].scale_table
+        medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
+                              jnp.float32)
+        gs = self.module.group_size
+        levels = int(table.shape[0])
+        groups = self.groups
+
+        def fn(y_cur, y_cond):
+            z = self._apply(y_cur, y_cond, method="hyper_encode")
+            z_raw = jnp.round(z - medians)
+            z_over = jnp.any(jnp.abs(z_raw) > 127)
+            z_sym = jnp.clip(z_raw, -127, 127).astype(jnp.int8)
+            z_hat = z_sym.astype(jnp.float32) + medians
+            priors = self._apply(z_hat, y_cond, method="priors")
+            target = y_cur - y_cond if self.residual else y_cur
+
+            syms, idxs, decoded = [], [], []
+            for g in range(groups):
+                ctx = (
+                    jnp.concatenate(decoded, axis=-1)
+                    if decoded
+                    else target[..., :0]
+                )
+                scales, means = self._apply(priors, ctx, g,
+                                            method="group_params")
+                t_g = target[..., g * gs : (g + 1) * gs]
+                sym = jnp.round(t_g - means)
+                decoded.append(
+                    jnp.clip(sym, -self._I16_LIM, self._I16_LIM)
+                    + means
+                )
+                syms.append(sym)
+                idxs.append(build_indexes(scales, table).astype(jnp.int32))
+            y_sym = jnp.concatenate(syms, axis=-1)
+            idx = jnp.concatenate(idxs, axis=-1)
+
+            b = y_sym.shape[0]
+            n = y_sym.size // b
+            group_plane = jnp.repeat(
+                jnp.arange(groups, dtype=jnp.int32), gs
+            )[None, None, None, :]
+            key = idx + levels * group_plane
+            key_flat = jnp.reshape(
+                jnp.broadcast_to(key, y_sym.shape), (b, n)
+            )
+            y_flat = y_sym.reshape(b, n)
+            y_over = jnp.any(jnp.abs(y_flat) > 127, axis=-1)
+
+            order = jnp.argsort(key_flat, axis=-1)
+            y_sorted = jnp.take_along_axis(y_flat, order, axis=-1)
+            y_sorted = jnp.clip(y_sorted, -127, 127).astype(jnp.int8)
+            mask = y_sorted != 0
+            nz = mask.sum(axis=-1, dtype=jnp.int32)
+            cap = n // 4
+            pos = jnp.cumsum(mask, axis=-1, dtype=jnp.int32) - 1
+            pos = jnp.where(mask & (pos < cap), pos, cap)
+            values = (
+                jnp.zeros((b, cap + 1), jnp.int8)
+                .at[jnp.arange(b)[:, None], pos]
+                .set(y_sorted)[:, :cap]
+            )
+            counts = jax.vmap(
+                lambda r: jnp.bincount(r, length=groups * levels)
+            )(key_flat)
+            bits = mask.reshape(b, n // 8, 8).astype(jnp.uint32)
+            maskbits = jnp.sum(
+                bits << jnp.arange(8, dtype=jnp.uint32), axis=-1
+            ).astype(jnp.uint8)
+            overflow = (y_over | (nz > cap) | z_over).astype(jnp.int32)
+            meta = jnp.stack([nz, overflow], axis=-1)
+
+            as_u8 = lambda v: jax.lax.bitcast_convert_type(  # noqa: E731
+                v, jnp.uint8
+            ).reshape(-1)
+            return jnp.concatenate([
+                maskbits.reshape(-1),
+                as_u8(values),
+                as_u8(counts.astype(jnp.int32)),
+                as_u8(z_sym),
+                as_u8(meta),
+            ])
+
+        return self._jitted("fused_encode_sparse", fn)
+
+    def _compress_sparse(self, y_cur, y_conditioned):
+        from ..entropy import transport
+
+        b, h, w, m = jnp.shape(y_cur)
+        zt = self.tables["entropy_bottleneck"]
+        gt = self.tables["gaussian_conditional"]
+        levels = int(gt.scale_table.shape[0])
+        z_shape = (b, -(-h // 4), -(-w // 4), zt.rows)
+        layout = transport.SparseLayout(
+            b=b, n=h * w * m, zn=int(np.prod(z_shape[1:])),
+            levels=self.groups * levels,
+        )
+        packed = np.asarray(self._fused_encode_sparse_fn()(y_cur,
+                                                           y_conditioned))
+        planes = transport.unpack_encode(packed, layout)
+        if planes.overflow:
+            return None
+        z_idx = entropy_base.bottleneck_indexes(z_shape, zt.rows)
+        z_strings = entropy_base.compress(
+            planes.z_sym.reshape(z_shape), z_idx, zt, self.coder
+        )
+        counts = planes.counts.reshape(b, self.groups, levels)
+        y_strings = []
+        for i in range(b):
+            offs = np.concatenate(
+                [[0], np.cumsum(counts[i].sum(axis=-1))]
+            )
+            per_group = []
+            for g in range(self.groups):
+                seg = planes.y_sorted[i, offs[g]:offs[g + 1]]
+                rows = np.repeat(
+                    np.arange(levels, dtype=np.int32), counts[i, g]
+                )
+                per_group.append(
+                    self.coder.encode_with_indexes(
+                        seg.astype(np.int32), rows,
+                        gt.cdf, gt.cdf_length, gt.offset,
+                    )
+                )
+            y_strings.append(per_group)
+        return {
+            "strings": [y_strings, z_strings],
+            "shape": tuple(z_shape[1:3]),
+            "transport": "sparse",
+        }
+
+    def compress(self, y_cur, y_conditioned,
+                 transport_mode: str = "sparse") -> Dict[str, Any]:
         self._require_tables()
+        if transport_mode == "sparse":
+            enc = self._compress_sparse(y_cur, y_conditioned)
+            if enc is not None:
+                return enc
         b, h, w, m = jnp.shape(y_cur)
         zt = self.tables["entropy_bottleneck"]
         y_shape, z_shape = (b, h, w, m), (b, h // 4, w // 4, zt.rows)
@@ -221,7 +361,11 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
                     )
                 )
             y_strings.append(per_group)
-        return {"strings": [y_strings, z_strings], "shape": tuple(z_shape[1:3])}
+        return {
+            "strings": [y_strings, z_strings],
+            "shape": tuple(z_shape[1:3]),
+            "transport": "dense",
+        }
 
     # -- decode: G parallel-plane rounds ---------------------------------------
 
@@ -241,6 +385,60 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
             self._jit_cache[key] = [jax.jit(make(g)) for g in range(self.groups)]
         return self._jit_cache[key]
 
+    # -- sparse group transport (entropy/transport.py design, per group) -----
+
+    def _group_params_sparse_fn(self):
+        """Per-group decoder params: only the 256-byte counts vector crosses
+        to the host; order/means stay device-resident."""
+        table = self.tables["gaussian_conditional"].scale_table
+        levels = int(table.shape[0])
+
+        def make(g):
+            def fn(priors, ctx):
+                scales, means = self._apply(priors, ctx, g,
+                                            method="group_params")
+                idx = build_indexes(scales.astype(jnp.float32), table)
+                b = idx.shape[0]
+                n = idx.size // b
+                idx_flat = idx.reshape(b, n).astype(jnp.int32)
+                counts = jax.vmap(
+                    lambda r: jnp.bincount(r, length=levels)
+                )(idx_flat)
+                order = jnp.argsort(idx_flat, axis=-1)
+                return counts.astype(jnp.int32), order, means
+
+            return fn
+
+        key = "group_params_sparse_fns"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = [jax.jit(make(g))
+                                    for g in range(self.groups)]
+        return self._jit_cache[key]
+
+    def _group_reconstruct_sparse_fn(self):
+        def fn(maskbits, values, order, means):
+            b = means.shape[0]
+            n = means.size // b
+            cap = values.shape[1]
+            bits = (
+                (maskbits.reshape(b, n // 8, 1)
+                 >> jnp.arange(8, dtype=jnp.uint8)) & 1
+            )
+            mask = bits.reshape(b, n).astype(bool)
+            cums = jnp.cumsum(mask, axis=-1, dtype=jnp.int32)
+            gathered = jnp.take_along_axis(
+                values, jnp.clip(cums - 1, 0, cap - 1), axis=-1
+            )
+            y_sorted = jnp.where(mask, gathered, jnp.int8(0))
+            flat = (
+                jnp.zeros((b, n), jnp.int32)
+                .at[jnp.arange(b)[:, None], order]
+                .set(y_sorted.astype(jnp.int32))
+            )
+            return flat.reshape(means.shape).astype(jnp.float32) + means
+
+        return self._jitted("group_reconstruct_sparse", fn)
+
     def _priors_fn(self):
         medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
                               jnp.float32)
@@ -251,7 +449,8 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
 
         return self._jitted("priors_from_zsym", fn)
 
-    def decompress(self, strings, shape, y_conditioned) -> Dict[str, Any]:
+    def decompress(self, strings, shape, y_conditioned,
+                   transport_mode: str = "sparse") -> Dict[str, Any]:
         assert isinstance(strings, list) and len(strings) == 2
         self._require_tables()
         zt = self.tables["entropy_bottleneck"]
@@ -267,8 +466,24 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
         b = len(strings[1])
         h, w = shape[0] * 4, shape[1] * 4
         gs = self.module.group_size
-        params_fns = self._group_params_fn()
 
+        if transport_mode == "sparse":
+            decoded = self._decode_groups_sparse(strings[0], priors, b, h, w)
+        else:
+            decoded = self._decode_groups_dense(
+                strings[0], priors, b, h, w, gs, gt
+            )
+
+        target_hat = jnp.concatenate(decoded, axis=-1)
+        y_hat = (
+            target_hat + jnp.asarray(y_conditioned)
+            if self.residual
+            else target_hat
+        )
+        return {"y_hat": y_hat}
+
+    def _decode_groups_dense(self, y_strings, priors, b, h, w, gs, gt):
+        params_fns = self._group_params_fn()
         decoded = []
         for g in range(self.groups):
             ctx = (
@@ -280,17 +495,47 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
             idx_np = np.asarray(idx, np.int32)
             sym = np.stack([
                 self.coder.decode_with_indexes(
-                    strings[0][i][g], idx_np[i].reshape(-1),
+                    y_strings[i][g], idx_np[i].reshape(-1),
                     gt.cdf, gt.cdf_length, gt.offset,
                 ).reshape(h, w, gs)
                 for i in range(b)
             ])
-            decoded.append(jnp.asarray(sym.astype(np.int16), jnp.float32) + means)
+            decoded.append(
+                jnp.asarray(sym.astype(np.int16), jnp.float32) + means
+            )
+        return decoded
 
-        target_hat = jnp.concatenate(decoded, axis=-1)
-        y_hat = (
-            target_hat + jnp.asarray(y_conditioned)
-            if self.residual
-            else target_hat
-        )
-        return {"y_hat": y_hat}
+    def _decode_groups_sparse(self, y_strings, priors, b, h, w):
+        """Per group: 256 B counts D2H, grouped host rANS, bitmask+int8
+        upload, device-side reconstruct — no index planes over the link."""
+        from ..entropy import transport
+
+        gt = self.tables["gaussian_conditional"]
+        params_fns = self._group_params_sparse_fn()
+        reconstruct = self._group_reconstruct_sparse_fn()
+        decoded = []
+        for g in range(self.groups):
+            ctx = (
+                jnp.concatenate(decoded, axis=-1)
+                if decoded
+                else jnp.zeros((b, h, w, 0), jnp.float32)
+            )
+            counts, order, means = params_fns[g](priors, ctx)
+            counts = np.asarray(counts)
+            y_sorted = transport.decode_grouped(
+                [y_strings[i][g] for i in range(b)], counts, gt, self.coder
+            )
+            n_g = y_sorted.shape[1]
+            # per-group payload capacity: the encoder only bounds the GLOBAL
+            # nonzero count; size the group buffer to its actual need
+            # (rounded up, so jit shapes stay in a few buckets)
+            nz_max = int((y_sorted != 0).sum(axis=-1).max())
+            cap = max(n_g // 4, -(-max(nz_max, 1) // 4096) * 4096)
+            cap = min(cap, n_g)
+            maskbits, values = transport.pack_decode_payload(y_sorted, cap)
+            decoded.append(
+                reconstruct(
+                    jnp.asarray(maskbits), jnp.asarray(values), order, means
+                )
+            )
+        return decoded

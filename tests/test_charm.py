@@ -66,7 +66,8 @@ class TestCodec:
         enc = model.compress(y_cur, y_cond)
         assert len(enc["strings"][0]) == 2  # per batch element
         assert len(enc["strings"][0][0]) == G  # per group
-        dec = model.decompress(enc["strings"], enc["shape"], y_cond)
+        dec = model.decompress(enc["strings"], enc["shape"], y_cond,
+                               transport_mode=enc["transport"])
 
         # the decoder must reproduce the encoder's own group recursion:
         # rebuild the expected reconstruction from the encoder's symbol planes
@@ -105,3 +106,29 @@ class TestCodec:
         e1 = model.compress(y_cur, y_cond)
         e2 = model.compress(y_cur, y_cond)
         assert e1["strings"][0] == e2["strings"][0]
+
+    def test_sparse_and_dense_transports_agree(self):
+        """The sparse-grouped transport must reconstruct exactly what the
+        dense transport reconstructs. Params are scaled toward zero so the
+        symbols land in the int8/sparse regime of a converged model."""
+        m = SpatioTemporalPriorModelChannelAR(
+            groups=G, entropy_bottleneck_channels=EBC, in_channels=M
+        )
+        y_cur, y_cond = _latents(b=1)
+        m.init(y_cur, y_cond)
+        m.params = jax.tree_util.tree_map(lambda p: p * 0.01, m.params)
+        m.update()
+        y_cur = y_cond + 0.3 * jax.random.normal(
+            jax.random.PRNGKey(5), y_cond.shape
+        )
+
+        enc_d = m.compress(y_cur, y_cond, transport_mode="dense")
+        dec_d = m.decompress(enc_d["strings"], enc_d["shape"], y_cond,
+                             transport_mode="dense")
+        enc_s = m.compress(y_cur, y_cond, transport_mode="sparse")
+        assert enc_s["transport"] == "sparse"
+        dec_s = m.decompress(enc_s["strings"], enc_s["shape"], y_cond,
+                             transport_mode="sparse")
+        np.testing.assert_allclose(
+            np.asarray(dec_s["y_hat"]), np.asarray(dec_d["y_hat"]), atol=1e-5
+        )

@@ -16,9 +16,12 @@ Usage: python tools/train_rd_sweep.py [--i-steps 400] [--p-steps 250]
 import argparse
 import json
 import os
+import sys
 import tempfile
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _structured_frames(rng, n_frames=7, hw=(128, 128)):
