@@ -312,11 +312,22 @@ def run_wavefront(budget_left) -> dict:
     dec_t = time.perf_counter() - t0
     jax.block_until_ready(dec["y_hat"])
     nb = sum(len(s) for g in enc["strings"] for s in g)
+    # wavefront decode = one (params dispatch + host rANS + sync) per
+    # anti-diagonal; through this tunnel each round pays ~2 RPCs. Project a
+    # PCIe host by removing the measured tunnel latency per round.
+    n_rounds = 3 * (H // 16 - 1) + W // 16  # ar_wavefront.wavefront_tables
+    per_round_ms = 1e3 * dec_t / n_rounds
+    rpc_ms = 35.0
+    intrinsic_ms = max(per_round_ms - 2 * rpc_ms, 0.5)
+    pcie_dec_s = n_rounds * (intrinsic_ms + 0.3) / 1e3
     return {
         "fps": 1.0 / (enc_t + dec_t),
         "enc_s": round(enc_t, 2),
         "dec_s": round(dec_t, 2),
         "bpp": round(nb * 8 / (H * W), 4),
+        "decode_rounds": n_rounds,
+        "per_round_ms": round(per_round_ms, 2),
+        "pcie_projection_fps": round(1.0 / (pcie_dec_s + 0.05), 2),
     }
 
 

@@ -271,6 +271,92 @@ class TestSTEMWithoutSPM:
         )
 
 
+class TestSTEMResSerial:
+    """Flagship SpatioTemporalPriorModel_Res (README.md:115): shared-weight
+    forward parity and byte-identical serial-AR bitstreams
+    (spatiotemporalpriors.py:791-1073)."""
+
+    EBC, IC = 64, 48
+
+    @pytest.fixture(scope="class")
+    def pair(self, compressai):
+        torch.manual_seed(77)
+        ref = compressai.models.SpatioTemporalPriorModel_Res(
+            entropy_bottleneck_channels=self.EBC, in_channels=self.IC
+        )
+        ref.eval()
+
+        ours = jmodels.SpatioTemporalPriorModel(
+            variant="res",
+            entropy_bottleneck_channels=self.EBC,
+            in_channels=self.IC,
+            ar_mode="serial",
+        )
+        dummy = np.zeros((1, 8, 8, self.IC), np.float32)
+        ours.init(dummy, dummy)
+        ours.params = convert_state_dict(
+            torch_state_dict(ref), ours.params, KEY_MAPS["stem"]
+        )
+        return ref, ours
+
+    @pytest.fixture(scope="class")
+    def latents(self):
+        rng = np.random.default_rng(19)
+        y_cond = rng.normal(0, 1, (1, 8, 8, self.IC)).astype(np.float32)
+        y_cur = (y_cond + rng.normal(0, 0.3, y_cond.shape)).astype(np.float32)
+        return y_cur, y_cond
+
+    def test_forward_parity(self, pair, latents):
+        ref, ours = pair
+        y_cur, y_cond = latents
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(to_nchw(y_cur)),
+                torch.from_numpy(to_nchw(y_cond)),
+            )
+        our_out = ours.forward(y_cur, y_cond, train=False)
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["y_hat"].numpy()),
+            np.asarray(our_out["y_hat"]),
+            atol=1e-4,
+        )
+        n = y_cur.shape[1] * y_cur.shape[2]
+        ref_bpp = _bpp(
+            {k: v.numpy() for k, v in ref_out["likelihoods"].items()}, n
+        )
+        assert ref_bpp == pytest.approx(
+            _bpp(our_out["likelihoods"], n), rel=BPP_RTOL
+        )
+
+    def test_serial_ar_bitstream_parity(self, pair, latents):
+        ref, ours = pair
+        y_cur, y_cond = latents
+        _adopt_ref_tables(ref, ours)
+        with torch.no_grad():
+            ref_enc = ref.compress(
+                torch.from_numpy(to_nchw(y_cur)),
+                torch.from_numpy(to_nchw(y_cond)),
+            )
+        our_enc = ours.compress(y_cur, y_cond)
+        assert ref_enc["strings"][1] == our_enc["strings"][1], "z stream"
+        assert ref_enc["strings"][0] == our_enc["strings"][0], "y AR stream"
+
+        with torch.no_grad():
+            ref_dec = ref.decompress(
+                ref_enc["strings"], ref_enc["shape"],
+                torch.from_numpy(to_nchw(y_cond)),
+            )
+        our_dec = ours.decompress(
+            our_enc["strings"], tuple(our_enc["shape"]), y_cond
+        )
+        ref_y = ref_dec["y_hat"] if isinstance(ref_dec, dict) else ref_dec
+        np.testing.assert_allclose(
+            to_nhwc(ref_y.numpy()),
+            np.asarray(our_dec["y_hat"]),
+            atol=1e-5,
+        )
+
+
 class TestCheng2020Anchor:
     """Shared-weight Cheng2020 anchor: residual/attention converter coverage
     + serial-AR bitstream parity (waseda.py:29-96)."""
@@ -451,6 +537,36 @@ class TestStemROI:
         )
         assert ref_bpp == pytest.approx(
             _bpp(our_out["likelihoods"], n), rel=BPP_RTOL
+        )
+
+    def test_bitstream_parity(self, pair, inputs):
+        """stem_roi's parallel codec path (stem_roi.py:645-680) with shared
+        tables: byte-identical y/z streams and matching reconstructions."""
+        ref, ours = pair
+        x_cur, x_cond, qmap = inputs
+        _adopt_ref_tables(ref, ours)
+        with torch.no_grad():
+            ref_enc = ref.compress(
+                torch.from_numpy(to_nchw(x_cur)),
+                torch.from_numpy(to_nchw(x_cond)),
+                torch.from_numpy(to_nchw(qmap)),
+            )
+        our_enc = ours.compress(x_cur, x_cond, qmap)
+        assert ref_enc["strings"][1] == our_enc["strings"][1], "z stream"
+        assert ref_enc["strings"][0] == our_enc["strings"][0], "y stream"
+
+        with torch.no_grad():
+            ref_dec = ref.decompress(
+                ref_enc["strings"], ref_enc["shape"],
+                torch.from_numpy(to_nchw(x_cond)),
+            )
+        our_dec = ours.decompress(
+            our_enc["strings"], tuple(our_enc["shape"]), x_cond
+        )
+        np.testing.assert_allclose(
+            to_nhwc(ref_dec["x_hat"].numpy()),
+            np.asarray(our_dec["x_hat"]),
+            atol=5e-4,
         )
 
     def test_roi_i_forward_parity(self, compressai):
