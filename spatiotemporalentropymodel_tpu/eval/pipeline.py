@@ -55,7 +55,8 @@ class StemVideoPipeline:
 
         def encode_sparse_fn(x, y_cond):
             y_cur = i_model._apply(x, method="analysis")[0]
-            return y_cur, stem.fused_encode_sparse_expr(y_cur, y_cond)
+            packed, y_hat = stem.fused_encode_sparse_carry_expr(y_cur, y_cond)
+            return y_cur, y_hat, packed
 
         def analysis_fn(x):
             return i_model._apply(x, method="analysis")[0]
@@ -152,17 +153,63 @@ class StemVideoPipeline:
     def encode_frame(self, x, y_cond) -> Tuple[dict, jnp.ndarray]:
         """x (B, H, W, 3) image, y_cond device-resident conditioning latent.
 
-        Returns (enc dict with strings/shape/transport, y_cur latent for
-        carry use). One device dispatch + one packed download + host rANS.
+        Returns (enc dict with strings/shape/transport, carry latent). In
+        sparse mode the carry is the decoder-consistent ŷ (what
+        evalSTEM.py:144-153 carries — a raw-latent carry drifts from the
+        decoder); the dense fallback returns the raw y_cur (its legacy
+        contract, used by byte-equality tests). One device dispatch + one
+        packed download + host rANS.
         """
         if self.transport_mode == "sparse":
-            y_cur, packed = self._encode_sparse(x, y_cond)
+            y_cur, y_hat, packed = self._encode_sparse(x, y_cond)
             enc = self.code_sparse_buffer(np.asarray(packed), y_cur.shape)
             if enc is not None:
-                return enc, y_cur
+                return enc, y_hat
             # overflow → dense fallback (rare; diverged/untrained models)
         y_cur, packed = self._encode(x, y_cond)
         return self._code_dense_buffer(np.asarray(packed), y_cur.shape), y_cur
+
+    def encode_frames(self, frames, y_cond):
+        """Encode a GOP of P-frames with the host coder double-buffered
+        against the next frame's device work. `frames` is an iterable of
+        (B, H, W, 3) images; yields enc dicts in order. The conditioning
+        carry is the decoder-consistent ŷ, device-resident throughout.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self.transport_mode != "sparse":
+            for x in frames:
+                enc, y_cond = self.encode_frame(x, y_cond)
+                yield enc
+            return
+
+        with ThreadPoolExecutor(1) as fetcher:
+            pending = None  # (future_buf, y_cur, y_hat)
+            for x in frames:
+                y_cur, y_hat, packed = self._encode_sparse(x, y_cond)
+                y_cond = y_hat  # device-resident carry
+                fut = fetcher.submit(np.asarray, packed)
+                if pending is not None:
+                    yield self._finish_encode(*pending)
+                pending = (fut, y_cur)
+            if pending is not None:
+                yield self._finish_encode(*pending)
+
+    def _finish_encode(self, fut, y_cur):
+        enc = self.code_sparse_buffer(fut.result(), y_cur.shape)
+        if enc is None:  # overflow → re-encode this frame densely
+            raise RuntimeError(
+                "sparse transport overflow inside encode_frames; re-encode "
+                "the GOP with transport_mode='dense'"
+            )
+        return enc
+
+    def decode_frames(self, encs, y_cond):
+        """Decode a sequence of enc dicts, carrying ŷ on device; yields
+        (x_hat, y_hat) per frame."""
+        for enc in encs:
+            x_hat, y_cond = self.decode_frame(enc, y_cond=y_cond)
+            yield x_hat, y_cond
 
     # -- decoder side ---------------------------------------------------------
 

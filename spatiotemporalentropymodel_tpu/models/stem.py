@@ -405,6 +405,40 @@ class SpatioTemporalPriorModel(CompressionModel):
             as_u8(meta),
         ])
 
+    def fused_encode_sparse_carry_expr(self, y_cur, y_cond):
+        """Sparse encode + the decoder-consistent ŷ for the GOP carry.
+
+        The encoder-side recurrence must condition the next P-frame on the
+        SAME ŷ the decoder reconstructs (evalSTEM.py:144-153 carries
+        out_dec['y_hat']) — carrying the raw latent drifts. ŷ is derived from
+        the int8-clipped symbols, i.e. exactly the shipped stream's
+        reconstruction (on overflow the caller re-encodes dense anyway)."""
+        packed = self.fused_encode_sparse_expr(y_cur, y_cond)
+        # recompute ŷ cheaply from the same subexpressions (XLA CSEs the
+        # shared networks inside the single jit)
+        medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
+                              jnp.float32)
+        y_cur_c, y_cond_c = self._cast(y_cur), self._cast(y_cond)
+        z = self._apply(y_cur_c, y_cond_c, method="hyper_encode")
+        z_sym = jnp.clip(jnp.round(z.astype(jnp.float32) - medians),
+                         -127, 127)
+        z_hat = self._cast(z_sym + medians)
+        _, means = self._apply(z_hat, y_cond_c, method="entropy_params")
+        means = means.astype(jnp.float32)
+        target = (
+            jnp.asarray(y_cur, jnp.float32) - jnp.asarray(y_cond, jnp.float32)
+            if self.residual
+            else jnp.asarray(y_cur, jnp.float32)
+        )
+        sym = jnp.clip(jnp.round(target - means), -127, 127)
+        target_hat = sym + means
+        y_hat = (
+            target_hat + jnp.asarray(y_cond, jnp.float32)
+            if self.residual
+            else target_hat
+        )
+        return packed, y_hat
+
     def fused_params_sparse_expr(self, z_sym, y_cond):
         """Decoder-side (z_sym i8, y_cond) → (counts i32, order i32, means).
 

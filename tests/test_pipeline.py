@@ -118,6 +118,31 @@ def test_sparse_overflow_falls_back_to_dense(setup):
     assert np.isfinite(np.asarray(y_hat)).all()
 
 
+def test_gop_carry_consistency(setup):
+    """encode_frames must condition each P-frame on the decoder-consistent ŷ:
+    re-encoding frame 2 from the DECODER's carry must reproduce the stream
+    the streaming encoder produced (i.e. no encoder/decoder drift)."""
+    x, _, _ = setup
+    imodel = MeanScaleHyperprior(8, M)
+    imodel.init(x)
+    # scale the analysis transform so latents land in the int8/sparse regime
+    imodel.params = jax.tree_util.tree_map(lambda p: p * 0.05, imodel.params)
+    stem = _scaled_stem()
+    pipe = StemVideoPipeline(imodel, stem, transport_mode="sparse")
+    y0 = pipe.analysis(x)
+
+    frames = [x, x * 0.9 + 0.05, x * 1.1 - 0.05]
+    encs = list(pipe.encode_frames(frames, y0))
+    assert all(e["transport"] == "sparse" for e in encs)
+
+    outs = list(pipe.decode_frames(encs, y0))
+    assert len(outs) == 3
+    _, y_dec = outs[0]
+    enc2_again, _ = pipe.encode_frame(frames[1], y_dec)
+    assert enc2_again["strings"][0] == encs[1]["strings"][0]
+    assert enc2_again["strings"][1] == encs[1]["strings"][1]
+
+
 def test_pipeline_rejects_spm_variant(setup):
     x, imodel, _ = setup
     spm = SpatioTemporalPriorModel(
