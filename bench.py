@@ -286,8 +286,20 @@ def run_device_only(batch: int, frames: int = 8) -> dict:
         out = gop_fn(y_cond0, jax.random.PRNGKey(4 + i))
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    return {"fps": batch * frames * reps / dt,
-            "ms_per_frame": round(1e3 * dt / (batch * frames * reps), 2)}
+    res = {"fps": batch * frames * reps / dt,
+           "ms_per_frame": round(1e3 * dt / (batch * frames * reps), 2)}
+    try:  # XLA's own FLOP estimate → achieved FLOP/s and f32 MFU
+        cost = gop_fn.lower(y_cond0, jax.random.PRNGKey(3)).compile()
+        flops = cost.cost_analysis()["flops"]
+        per_frame = flops / (batch * frames)
+        tflops = per_frame / (res["ms_per_frame"] * 1e-3) / 1e12
+        res["gflops_per_frame"] = round(per_frame / 1e9, 1)
+        res["achieved_tflops"] = round(tflops, 1)
+        # v5e peak ≈ 197 TFLOP/s bf16 / ~49 f32 (this path runs f32)
+        res["mfu_f32"] = round(tflops / 49.0, 3)
+    except Exception:
+        pass
+    return res
 
 
 def run_wavefront(budget_left) -> dict:

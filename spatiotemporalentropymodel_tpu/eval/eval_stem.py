@@ -34,6 +34,7 @@ def eval_sequence(
     compute_msssim: bool = True,
     logfile: Optional[str] = None,
     report_estimated_bpp: bool = True,
+    pipeline=None,
 ) -> Dict[str, float]:
     """Evaluate one GOP sequence; returns aggregate metrics.
 
@@ -41,6 +42,11 @@ def eval_sequence(
     produces the estimated-bpp column (the reference always runs it,
     evalSTEM.py:48/106 — double device work in real-codec mode); with it off,
     per-frame wall-clock ≈ enc_time + dec_time, matching bench.py's timing.
+
+    ``pipeline``: optional eval/pipeline.StemVideoPipeline (non-SPM
+    variants). P-frames then run the minimal-dispatch sparse-transport
+    serving path — the exact configuration bench.py measures — instead of
+    the reference-wire-format model APIs.
     """
     log_f = open(logfile, "a") if logfile else None
     sums = {"psnr": 0.0, "ms_ssim": 0.0, "bpp": 0.0, "bpp_est": 0.0,
@@ -74,6 +80,23 @@ def eval_sequence(
                 bpp = actual_bpp(enc["strings"], num_pixels)
                 sums["enc_time"] += enc_t
                 sums["dec_time"] += dec_t
+        elif pipeline is not None and not entropy_estimation:
+            if report_estimated_bpp:
+                y_cur, _ = i_model.get_y(x_padded)
+                fwd = stem.forward(y_cur, y_conditioned)
+                bpp_est = float(estimate_bpp(fwd["likelihoods"], num_pixels))
+            else:
+                bpp_est = float("nan")
+            t0 = time.time()
+            enc, _ = pipeline.encode_frame(x_padded, y_conditioned)
+            enc_t = time.time() - t0
+            t0 = time.time()
+            x_hat, y_hat = pipeline.decode_frame(enc, y_cond=y_conditioned)
+            dec_t = time.time() - t0
+            bpp = actual_bpp(enc["strings"], num_pixels)
+            sums["enc_time"] += enc_t
+            sums["dec_time"] += dec_t
+            y_conditioned = y_hat
         else:
             y_cur, _ = i_model.get_y(x_padded)
             if entropy_estimation:
@@ -133,13 +156,23 @@ def eval_dataset(
     logfile: Optional[str] = None,
     out_json: Optional[str] = None,
     report_estimated_bpp: bool = True,
+    use_pipeline: bool = False,
 ) -> Dict:
-    """Evaluate all sequences; returns {sequence: metrics, "average": ...}."""
+    """Evaluate all sequences; returns {sequence: metrics, "average": ...}.
+
+    ``use_pipeline=True`` (non-SPM stems) builds one StemVideoPipeline and
+    runs P-frames through the sparse-transport serving path, so eval timing
+    matches bench.py's per-frame cost."""
+    pipeline = None
+    if use_pipeline:
+        from .pipeline import StemVideoPipeline
+
+        pipeline = StemVideoPipeline(i_model, stem)
     results = {}
     for seq in dataset:
         results[seq.name] = eval_sequence(
             i_model, stem, seq, entropy_estimation, compute_msssim, logfile,
-            report_estimated_bpp=report_estimated_bpp,
+            report_estimated_bpp=report_estimated_bpp, pipeline=pipeline,
         )
     keys = ["psnr", "ms_ssim", "bpp", "bpp_est"]
     avg = {

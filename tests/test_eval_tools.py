@@ -3,6 +3,7 @@ find_close, bench codecs, GOP evaluator (reference strategy:
 compressai_tests/test_update_model.py, test_codec.py)."""
 
 import json
+import math
 import os
 
 import jax.numpy as jnp
@@ -196,3 +197,18 @@ class TestGOPEvaluator:
                            compute_msssim=False)
         assert rv["frames"] == 4
         assert np.isfinite(rv["psnr"]) and rv["bpp"] > 0
+
+        # serving-pipeline-backed eval (bench.py's exact P-frame path):
+        # same frame count, finite metrics, timing excludes the bpp_est pass
+        from spatiotemporalentropymodel_tpu.eval.pipeline import (
+            StemVideoPipeline,
+        )
+
+        pipe = StemVideoPipeline(i_model, stem)
+        rv2 = eval_sequence(
+            i_model, stem, seq, entropy_estimation=False,
+            compute_msssim=False, report_estimated_bpp=False, pipeline=pipe,
+        )
+        assert rv2["frames"] == 4
+        assert np.isfinite(rv2["psnr"]) and rv2["bpp"] > 0
+        assert math.isnan(rv2["bpp_est"]) or rv2["bpp_est"] == 0.0
