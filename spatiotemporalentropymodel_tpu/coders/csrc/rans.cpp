@@ -169,10 +169,16 @@ struct DecState {
 
 // lut: optional (rows, 1<<precision) int16 direct symbol-lookup table
 // (lut[row][cum_freq] = symbol index); falls back to binary search when null.
+// dom: optional (rows, 3) int32 per-row dominant-symbol shortcut
+// {symbol, cdf[symbol], cdf[symbol+1]} — at production rates one symbol per
+// row carries almost all mass, and this 12-byte check (hot in L1) skips the
+// random access into the multi-MB LUT for the overwhelming majority of
+// symbols.
 void decode_lane(DecState& st, const int32_t* indexes, int64_t n,
                  const int32_t* cdfs, int32_t cols, const int32_t* cdf_sizes,
                  const int32_t* offsets, int64_t lane, int64_t stride,
-                 int32_t* out, const int16_t* lut = nullptr) {
+                 int32_t* out, const int16_t* lut = nullptr,
+                 const int32_t* dom = nullptr) {
   for (int64_t i = lane; i < n; i += stride) {
     const int32_t cdf_idx = indexes[i];
     const int32_t* cdf = cdfs + static_cast<int64_t>(cdf_idx) * cols;
@@ -181,7 +187,11 @@ void decode_lane(DecState& st, const int32_t* indexes, int64_t n,
 
     const uint32_t cum = static_cast<uint32_t>(st.x & ((1u << kPrecision) - 1));
     int32_t value;
-    if (lut != nullptr) {
+    if (dom != nullptr &&
+        static_cast<int32_t>(cum) >= dom[cdf_idx * 3 + 1] &&
+        static_cast<int32_t>(cum) < dom[cdf_idx * 3 + 2]) {
+      value = dom[cdf_idx * 3];
+    } else if (lut != nullptr) {
       value = lut[(static_cast<int64_t>(cdf_idx) << kPrecision) + cum];
     } else {
       // binary search: last s with cdf[s] <= cum (cdf strictly increasing)
@@ -293,10 +303,11 @@ int stem_decode_with_indexes_lut(const uint8_t* data, int64_t nbytes,
                                  const int32_t* cdfs, int32_t rows,
                                  int32_t cols, const int32_t* cdf_sizes,
                                  const int32_t* offsets, const int16_t* lut,
-                                 int32_t* out) {
+                                 const int32_t* dom, int32_t* out) {
   (void)rows;
   DecState st(data, nbytes);
-  decode_lane(st, indexes, n, cdfs, cols, cdf_sizes, offsets, 0, 1, out, lut);
+  decode_lane(st, indexes, n, cdfs, cols, cdf_sizes, offsets, 0, 1, out, lut,
+              dom);
   return 0;
 }
 
@@ -314,6 +325,29 @@ void stem_build_lut(const int32_t* cdfs, int32_t rows, int32_t cols,
         row[c] = static_cast<int16_t>(s);
       }
     }
+  }
+}
+
+// Per-row dominant-symbol shortcut table: {argmax-freq symbol, its cdf
+// start, its cdf end} per row (see decode_lane's `dom` fast path).
+void stem_build_dom(const int32_t* cdfs, int32_t rows, int32_t cols,
+                    const int32_t* cdf_sizes, int32_t* dom /*rows*3*/) {
+  for (int32_t r = 0; r < rows; ++r) {
+    const int32_t* cdf = cdfs + static_cast<int64_t>(r) * cols;
+    const int32_t size = cdf_sizes[r];
+    int32_t best = 0, best_freq = -1;
+    for (int32_t s = 0; s + 1 < size; ++s) {
+      const int32_t f = cdf[s + 1] - cdf[s];
+      if (f > best_freq) {
+        best_freq = f;
+        best = s;
+      }
+    }
+    // (the escape bucket is a valid shortcut too: decode_lane's bypass
+    // handling keys off the VALUE, not the lookup method)
+    dom[r * 3 + 0] = best;
+    dom[r * 3 + 1] = cdf[best];
+    dom[r * 3 + 2] = cdf[best + 1];
   }
 }
 
@@ -394,7 +428,8 @@ int stem_decode_interleaved(const uint8_t* data, int64_t nbytes,
                             const int32_t* indexes, int64_t n,
                             const int32_t* cdfs, int32_t rows, int32_t cols,
                             const int32_t* cdf_sizes, const int32_t* offsets,
-                            int32_t* out, const int16_t* lut) {
+                            int32_t* out, const int16_t* lut,
+                            const int32_t* dom) {
   (void)rows;
   if (nbytes < 4) return -1;
   uint32_t n_lanes = 0;
@@ -415,7 +450,7 @@ int stem_decode_interleaved(const uint8_t* data, int64_t nbytes,
   auto work = [&](uint32_t lane) {
     DecState st(data + starts[lane], lens[lane]);
     decode_lane(st, indexes, n, cdfs, cols, cdf_sizes, offsets, lane, n_lanes,
-                out, lut);
+                out, lut, dom);
   };
 
   const unsigned hw = std::thread::hardware_concurrency();

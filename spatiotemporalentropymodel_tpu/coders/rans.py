@@ -8,6 +8,7 @@ cost (entropy_models.py:222-231).
 
 import ctypes
 from functools import lru_cache
+from typing import NamedTuple
 
 import numpy as np
 
@@ -48,19 +49,24 @@ def _lib():
     lib.stem_decode_interleaved.restype = ctypes.c_int
     lib.stem_decode_interleaved.argtypes = [
         _u8p, ctypes.c_int64, _i32p, ctypes.c_int64, _i32p, ctypes.c_int32,
-        ctypes.c_int32, _i32p, _i32p, _i32p, ctypes.c_void_p,
+        ctypes.c_int32, _i32p, _i32p, _i32p, ctypes.c_void_p, ctypes.c_void_p,
     ]
 
     lib.stem_decode_with_indexes_lut.restype = ctypes.c_int
     lib.stem_decode_with_indexes_lut.argtypes = [
         _u8p, ctypes.c_int64, _i32p, ctypes.c_int64, _i32p, ctypes.c_int32,
-        ctypes.c_int32, _i32p, _i32p, ctypes.c_void_p, _i32p,
+        ctypes.c_int32, _i32p, _i32p, ctypes.c_void_p, ctypes.c_void_p, _i32p,
     ]
 
     lib.stem_build_lut.restype = None
     lib.stem_build_lut.argtypes = [
         _i32p, ctypes.c_int32, ctypes.c_int32, _i32p,
         np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS"),
+    ]
+
+    lib.stem_build_dom.restype = None
+    lib.stem_build_dom.argtypes = [
+        _i32p, ctypes.c_int32, ctypes.c_int32, _i32p, _i32p,
     ]
 
     lib.stem_dec_create.restype = ctypes.c_void_p
@@ -121,13 +127,31 @@ def encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets) -> bytes:
         cap = -rc  # retry with the exact required size
 
 
-def build_lut(cdfs, cdf_lengths) -> np.ndarray:
-    """(rows, 2^16) int16 direct symbol-lookup table for O(1) decode."""
+class DecodeLUT(NamedTuple):
+    """Decode acceleration tables: the O(1) direct-lookup table plus the
+    per-row dominant-symbol shortcut (rans.cpp::decode_lane `dom` path)."""
+
+    lut: np.ndarray  # (rows, 2^16) int16
+    dom: np.ndarray  # (rows, 3) int32 {symbol, cdf[sym], cdf[sym+1]}
+
+
+def _lut_ptrs(lut):
+    if lut is None:
+        return None, None
+    if isinstance(lut, DecodeLUT):
+        return lut.lut.ctypes.data, lut.dom.ctypes.data
+    return lut.ctypes.data, None  # bare (rows, 2^16) array
+
+
+def build_lut(cdfs, cdf_lengths) -> DecodeLUT:
+    """Decode acceleration tables (O(1) lookup + dominant-symbol shortcut)."""
     cdfs = _as_i32(cdfs)
     lengths = _as_i32(cdf_lengths)
     lut = np.zeros((cdfs.shape[0], 1 << 16), np.int16)
     _lib().stem_build_lut(cdfs, cdfs.shape[0], cdfs.shape[1], lengths, lut)
-    return lut
+    dom = np.zeros((cdfs.shape[0], 3), np.int32)
+    _lib().stem_build_dom(cdfs, cdfs.shape[0], cdfs.shape[1], lengths, dom)
+    return DecodeLUT(lut, dom)
 
 
 def decode_with_indexes(data: bytes, indexes, cdfs, cdf_lengths, offsets,
@@ -138,10 +162,11 @@ def decode_with_indexes(data: bytes, indexes, cdfs, cdf_lengths, offsets,
     n = indexes.shape[0]
     out = np.empty(n, dtype=np.int32)
     buf = np.frombuffer(data, dtype=np.uint8)
-    if lut is not None:
+    lut_ptr, dom_ptr = _lut_ptrs(lut)
+    if lut_ptr is not None:
         rc = _lib().stem_decode_with_indexes_lut(
             buf, buf.shape[0], indexes, n, cdfs, cdfs.shape[0], cdfs.shape[1],
-            lengths, offs, lut.ctypes.data, out,
+            lengths, offs, lut_ptr, dom_ptr, out,
         )
     else:
         rc = _lib().stem_decode_with_indexes(
@@ -181,9 +206,10 @@ def decode_interleaved(data: bytes, indexes, cdfs, cdf_lengths, offsets,
     n = indexes.shape[0]
     out = np.empty(n, dtype=np.int32)
     buf = np.frombuffer(data, dtype=np.uint8)
+    lut_ptr, dom_ptr = _lut_ptrs(lut)
     rc = _lib().stem_decode_interleaved(
         buf, buf.shape[0], indexes, n, cdfs, cdfs.shape[0], cdfs.shape[1],
-        lengths, offs, out, lut.ctypes.data if lut is not None else None,
+        lengths, offs, out, lut_ptr, dom_ptr,
     )
     if rc != 0:
         raise ValueError(f"interleaved rans decode failed (rc={rc})")

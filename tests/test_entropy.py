@@ -178,9 +178,9 @@ class TestCodecTables:
         gc.collect()
         t2 = update_gaussian_tables(tail_mass=1e-6)  # different tables
         lut2 = get_lut(t2, coder)
-        np.testing.assert_array_equal(
-            lut2, coder.build_lut(t2.cdf, t2.cdf_length)
-        )
+        fresh = coder.build_lut(t2.cdf, t2.cdf_length)
+        np.testing.assert_array_equal(lut2.lut, fresh.lut)
+        np.testing.assert_array_equal(lut2.dom, fresh.dom)
 
 
 class TestSolveQuantiles:
