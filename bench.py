@@ -242,29 +242,43 @@ def run_pipeline(batch: int) -> dict:
     }
 
 
-def run_device_only(batch: int, frames: int = 8) -> dict:
+def run_device_only(batch: int, frames: int = 8, dtype=None) -> dict:
     """Pure device fps: the full codec math (encode expr → symbols →
     params → reconstruct → g_s) chained over `frames` P-frames inside ONE
-    jit — no host boundary, the framework's intrinsic speed."""
+    jit — no host boundary, the framework's intrinsic speed.
+
+    dtype=jnp.bfloat16 runs the transform/entropy nets on the MXU at bf16
+    (encoder and decoder share the same nets, so the codec stays
+    self-consistent; quantization and likelihood math stay f32)."""
     x, imodel, stem, pipe, y_cond0 = build(batch)
+    if dtype is not None:
+        cast = lambda p: p.astype(dtype)  # noqa: E731
+        imodel.params = jax.tree_util.tree_map(cast, imodel.params)
+        stem.params = jax.tree_util.tree_map(cast, stem.params)
     medians = jnp.asarray(stem.tables["entropy_bottleneck"].medians,
                           jnp.float32)
     table = stem.tables["gaussian_conditional"].scale_table
 
     def one_frame(y_cond, key):
-        z = stem._apply(y_cond, y_cond, method="hyper_encode")
-        z_sym = jnp.round(z - medians)
+        y_cond_c = y_cond if dtype is None else y_cond.astype(dtype)
+        z = stem._apply(y_cond_c, y_cond_c, method="hyper_encode")
+        z32 = z.astype(jnp.float32)
+        z_sym = jnp.round(z32 - medians)
         z_hat = z_sym + medians
-        scales, means = stem._apply(z_hat, y_cond, method="entropy_params")
+        if dtype is not None:
+            z_hat = z_hat.astype(dtype)
+        scales, means = stem._apply(z_hat, y_cond_c, method="entropy_params")
+        scales = scales.astype(jnp.float32)
+        means = means.astype(jnp.float32)
         sigma = jnp.clip(jnp.abs(scales), 0.11, 256.0)
         y_cur = means + sigma * jax.random.normal(key, means.shape)
         from spatiotemporalentropymodel_tpu.ops import pallas_kernels as pk
 
-        y_sym, idx = pk.quantize_and_index(
-            y_cur, means, scales.astype(jnp.float32), table
-        )
+        y_sym, idx = pk.quantize_and_index(y_cur, means, scales, table)
         y_hat = y_sym.astype(jnp.float32) + means
-        x_hat = imodel._apply(y_hat, method="get_x")
+        x_hat = imodel._apply(
+            y_hat if dtype is None else y_hat.astype(dtype), method="get_x"
+        )
         return y_hat, x_hat, idx
 
     def gop(y_cond, key):
@@ -425,6 +439,14 @@ def main():
     except Exception as e:  # pragma: no cover - bench resilience
         extras["device_only_error"] = repr(e)[:200]
     try:
+        if left() > 650:
+            extras["device_only_b4_bf16"] = run_device_only(
+                4, dtype=jnp.bfloat16
+            )
+            _emit(results, extras, to_stdout=False)
+    except Exception as e:  # pragma: no cover
+        extras["device_only_bf16_error"] = repr(e)[:200]
+    try:
         if left() > 700:
             extras["res_wavefront_1080p"] = run_wavefront(left())
             _emit(results, extras, to_stdout=False)
@@ -465,7 +487,8 @@ def _emit(results, extras, to_stdout: bool):
         detail["pcie_projection"] = pcie_projection(
             best, extras["device_only_b4"]
         )
-    for k in ("res_wavefront_1080p", "charm_1080p", "device_only_error",
+    for k in ("device_only_b4_bf16", "res_wavefront_1080p", "charm_1080p",
+              "device_only_error", "device_only_bf16_error",
               "res_wavefront_error", "charm_error"):
         if k in extras:
             detail[k] = extras[k]
