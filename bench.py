@@ -3,9 +3,11 @@
 Pipeline per frame (the evalSTEM GOP inner loop, stem/evalSTEM.py:93-153),
 driven through eval/pipeline.py's minimal-dispatch serving path with the
 sparse-grouped transport (entropy/transport.py): encode = ONE device dispatch
-→ ~0.6 MB packed buffer → host rANS; decode = TWO dispatches with only the
-256-byte row-counts vector crossing device→host. Host coding of frame k
-overlaps the device dispatch/transfer of frame k+1 (double buffering).
+→ ~0.6 MB packed buffer → host rANS; decode = host rANS straight from the
+container's row counts → ONE packed upload → ONE dispatch, zero device→host
+fetches — the GOP recurrence rides device-resident futures, so neither side
+ever blocks on the device. Host coding of frame k overlaps the device
+dispatch/transfer of frame k+1 (double buffering).
 
 Workload realism: trained weights are unavailable offline, so the model's
 entropy-parameter head is surgically set to emit a converged-model scale
@@ -116,7 +118,9 @@ def build(batch):
 
 def make_bench_encode(imodel, stem, sparse: bool):
     """One dispatch: real g_a + real entropy nets; y sampled from the model's
-    own N(μ, σ) so coded symbols match the row statistics exactly."""
+    own N(μ, σ) so coded symbols match the row statistics exactly. Returns
+    (packed buffer, decoder-consistent ŷ) so the GOP carry evolves exactly as
+    the decoder's does (stream stays decodable along the recurrence)."""
     medians = jnp.asarray(stem.tables["entropy_bottleneck"].medians,
                           jnp.float32)
 
@@ -132,16 +136,19 @@ def make_bench_encode(imodel, stem, sparse: bool):
 
     def fn(x, y_cond, key):
         y_cur = sample_latent(x, y_cond, key)
-        expr = (stem.fused_encode_sparse_expr if sparse
-                else stem.fused_encode_expr)
-        return expr(y_cur, y_cond)
+        if sparse:
+            return stem.fused_encode_sparse_carry_expr(y_cur, y_cond)
+        return stem.fused_encode_expr(y_cur, y_cond), y_cur
 
     return jax.jit(fn)
 
 
 def run_pipeline(batch: int) -> dict:
-    """End-to-end enc+dec fps through the tunnel, host coding overlapped with
-    the next frame's device work; returns fps + stage breakdown + bytes."""
+    """End-to-end enc+dec fps through the tunnel as a streaming GOP:
+    double-buffered encode (host rANS of frame k overlaps frame k+1's device
+    work) feeding the fetch-free decoder (host rANS from container counts →
+    one packed upload → one dispatch; the recurrence rides device futures).
+    Returns fps + stage breakdown + bytes over the link."""
     x, imodel, stem, pipe, y_cond = build(batch)
     bench_encode = make_bench_encode(imodel, stem, sparse=True)
     shape4 = (batch, H // 16, W // 16, M)
@@ -154,13 +161,14 @@ def run_pipeline(batch: int) -> dict:
         assert enc is not None, "sparse overflow at realistic stats"
         return enc
 
-    # warmup / compile
-    buf = np.asarray(bench_encode(x, y_cond, key))
-    enc = encode_host(buf)
+    # warmup / compile (encode jit + fetch-free decode jit)
+    packed, _ = bench_encode(x, y_cond, key)
+    enc = encode_host(np.asarray(packed))
     x_hat, y_hat = pipe.decode_frame(enc, y_cond=y_cond)
     jax.block_until_ready(x_hat)
 
     n_bytes = sum(len(s) for g in enc["strings"] for s in g)
+    n_bytes += np.asarray(enc["counts"]).nbytes  # side info in the container
     bpp = n_bytes * 8 / (batch * H * W)
 
     from spatiotemporalentropymodel_tpu.entropy import base as eb
@@ -170,64 +178,59 @@ def run_pipeline(batch: int) -> dict:
     gc_tables = stem.tables["gaussian_conditional"]
     z_idx = eb.bottleneck_indexes((batch, H // 64, W // 64, zt.rows), zt.rows)
 
-    def decode(enc, sync: bool, stages=None):
-        """Sparse decode; with sync=False the finish dispatch is left in the
-        device queue (a GOP consumer only needs ŷ on device — per-frame host
-        syncs are a timing artifact, not a pipeline requirement)."""
-        t = time.perf_counter()
-        z_sym = eb.decompress(enc["strings"][1], z_idx, zt, stem.coder)
-        if stages is not None:
-            stages["dec_z"].append(time.perf_counter() - t)
-        t = time.perf_counter()
-        counts, order, means = pipe._params_sparse(
-            jnp.asarray(z_sym.astype(np.int8)), y_cond
-        )
-        counts = np.asarray(counts)
-        if stages is not None:
-            stages["dec_params"].append(time.perf_counter() - t)
-        t = time.perf_counter()
-        y_sorted = tp.decode_grouped(enc["strings"][0], counts, gc_tables,
-                                     stem.coder)
-        maskbits, values = tp.pack_decode_payload(y_sorted, layout.cap)
-        if stages is not None:
-            stages["dec_y"].append(time.perf_counter() - t)
-        t = time.perf_counter()
-        y_hat, x_hat = pipe._finish_sparse(
-            jnp.asarray(maskbits), jnp.asarray(values), order, means, y_cond
-        )
-        if sync:
-            jax.block_until_ready(x_hat)
-        if stages is not None:
-            stages["dec_finish"].append(time.perf_counter() - t)
-        return x_hat, counts, maskbits, values, z_sym
-
-    # instrumented pass (with per-stage syncs) for the breakdown
-    stages = {"fetch": [0.0], "host_enc": [], "dec_z": [], "dec_params": [],
-              "dec_y": [], "dec_finish": []}
+    # instrumented single-frame pass (per-stage syncs) for the breakdown;
+    # mirrors pipeline._decode_sparse_fetchfree with timers
+    stages = {"host_enc": [], "dec_z": [], "dec_y": [], "dec_dispatch": []}
     t = time.perf_counter()
-    enc = encode_host(np.asarray(bench_encode(x, y_cond, key)))
+    packed, _ = bench_encode(x, y_cond, key)
+    enc = encode_host(np.asarray(packed))
     stages["host_enc"].append(time.perf_counter() - t)
-    _, counts, maskbits, values, z_sym = decode(enc, sync=True, stages=stages)
+    t = time.perf_counter()
+    z_sym = eb.decompress(enc["strings"][1], z_idx, zt, stem.coder)
+    stages["dec_z"].append(time.perf_counter() - t)
+    t = time.perf_counter()
+    y_sorted = tp.decode_grouped(enc["strings"][0], enc["counts"], gc_tables,
+                                 stem.coder)
+    maskbits, values = tp.pack_decode_payload(y_sorted, layout.cap)
+    payload = np.concatenate([
+        maskbits.reshape(-1), values.view(np.uint8).reshape(-1),
+        np.ascontiguousarray(z_sym.astype(np.int8)).view(np.uint8)
+        .reshape(-1),
+    ])
+    stages["dec_y"].append(time.perf_counter() - t)
+    t = time.perf_counter()
+    fn, _ = pipe._get_decode_full(shape4)
+    x_hat, _ = fn(jnp.asarray(payload), y_cond)
+    jax.block_until_ready(x_hat)
+    stages["dec_dispatch"].append(time.perf_counter() - t)
 
-    # throughput pass: double-buffered encode fetch, no per-frame sync
+    # throughput pass: streaming GOP, no per-frame sync anywhere
     iters = max(24 // batch, 6)
-    fetcher = ThreadPoolExecutor(1)
-    fut = fetcher.submit(lambda a: np.asarray(a), bench_encode(x, y_cond, key))
+    keys = jax.random.split(key, iters)
+
+    def enc_stream():
+        fetcher = ThreadPoolExecutor(1)
+        yc, fut = y_cond, None
+        try:
+            for i in range(iters):
+                pk_buf, yc = bench_encode(x, yc, keys[i])  # async dispatch
+                nfut = fetcher.submit(lambda a: np.asarray(a), pk_buf)
+                if fut is not None:
+                    yield encode_host(fut.result())
+                fut = nfut
+            yield encode_host(fut.result())
+        finally:
+            fetcher.shutdown(wait=False)
+
     t0 = time.perf_counter()
     x_hat = None
-    for _ in range(iters):
-        nxt = bench_encode(x, y_cond, key)  # async device dispatch
-        fut_next = fetcher.submit(lambda a: np.asarray(a), nxt)
-        enc = encode_host(fut.result())
-        x_hat, *_ = decode(enc, sync=False)
-        fut = fut_next
+    for x_hat, _ in pipe.decode_frames(enc_stream(), y_cond):
+        pass
     jax.block_until_ready(x_hat)
     elapsed = time.perf_counter() - t0
-    fut.result()
-    fetcher.shutdown()
 
-    bytes_down = layout.total + counts.nbytes
-    bytes_up = maskbits.nbytes + values.nbytes + z_sym.size  # z int8 upload
+    bytes_down = layout.total
+    bytes_up = payload.nbytes
     return {
         "fps": batch * iters / elapsed,
         "bpp": bpp,
@@ -375,13 +378,15 @@ def run_charm() -> dict:
     y_cur = y_cond + 0.2 * jax.random.normal(jax.random.PRNGKey(8), y_shape)
 
     enc = model.compress(y_cur, y_cond)  # warm compile
-    dec = model.decompress(enc["strings"], tuple(enc["shape"]), y_cond)
+    dec = model.decompress(enc["strings"], tuple(enc["shape"]), y_cond,
+                           counts=enc.get("counts"))
     jax.block_until_ready(dec["y_hat"])
     t0 = time.perf_counter()
     enc = model.compress(y_cur, y_cond)
     enc_t = time.perf_counter() - t0
     t0 = time.perf_counter()
-    dec = model.decompress(enc["strings"], tuple(enc["shape"]), y_cond)
+    dec = model.decompress(enc["strings"], tuple(enc["shape"]), y_cond,
+                           counts=enc.get("counts"))
     jax.block_until_ready(dec["y_hat"])
     dec_t = time.perf_counter() - t0
     return {"fps": round(1.0 / (enc_t + dec_t), 3),
@@ -467,9 +472,10 @@ def _emit(results, extras, to_stdout: bool):
     fps = best["fps"]
 
     detail = {
-        "pipeline": "sparse-grouped transport: 1-dispatch encode + "
-                    "2-dispatch decode (256 B counts D2H), host rANS "
-                    "overlapped with next frame's device work",
+        "pipeline": "sparse-grouped transport, streaming GOP: 1-dispatch "
+                    "encode + 1-dispatch fetch-free decode (row counts ride "
+                    "the container), zero per-frame device syncs; host rANS "
+                    "overlapped with device work",
         "bpp": round(best["bpp"], 4),
         "per_batch_fps": {str(b): round(r["fps"], 3)
                           for b, r in results.items()},

@@ -7,10 +7,16 @@ into the minimum number of jitted calls per frame:
 
   encode: ONE dispatch  (g_a → HE → EB-quantize → entropy params → symbol
                          planes, packed byte buffer out) + host rANS
-  decode: TWO dispatches (params-from-ẑ; reconstruct → g_s) + host rANS
+  decode: ONE dispatch  (params-from-ẑ + reconstruct + g_s) + host rANS,
+                         with ZERO device→host fetches: the sparse container
+                         carries the 64 CDF-row counts (256 B/frame of side
+                         info that is itself derivable from ẑ), so the host
+                         can run the rANS decoder before touching the device
+                         and the GOP recurrence rides device-resident futures
 
-versus five-plus when calling the generic model APIs. The conditioning latent
-stays device-resident across frames (GOP recurrence, stem/evalSTEM.py:93-153).
+versus five-plus dispatches when calling the generic model APIs. The
+conditioning latent stays device-resident across frames (GOP recurrence,
+stem/evalSTEM.py:93-153).
 """
 
 from typing import Tuple
@@ -84,6 +90,7 @@ class StemVideoPipeline:
         self._params_sparse = jax.jit(params_sparse_fn)
         self._finish = jax.jit(finish_fn)
         self._finish_sparse = jax.jit(finish_sparse_fn)
+        self._decode_full_cache = {}
 
     # -- encoder side ---------------------------------------------------------
 
@@ -148,6 +155,10 @@ class StemVideoPipeline:
             "strings": [y_strings, z_strings],
             "shape": (zh, zw),
             "transport": "sparse",
+            # 64 CDF-row counts ride in the container (256 B/frame; they are
+            # derivable from ẑ on device, but shipping them lets the decoder
+            # run host rANS with ZERO device→host fetches per frame)
+            "counts": planes.counts,
         }
 
     def encode_frame(self, x, y_cond) -> Tuple[dict, jnp.ndarray]:
@@ -206,23 +217,90 @@ class StemVideoPipeline:
 
     def decode_frames(self, encs, y_cond):
         """Decode a sequence of enc dicts, carrying ŷ on device; yields
-        (x_hat, y_hat) per frame."""
+        (x_hat, y_hat) per frame.
+
+        With counts-carrying sparse containers every iteration is host rANS +
+        one async dispatch — no per-frame device sync anywhere, so decode of
+        frame k's host half overlaps the device's work on earlier frames and
+        the GOP recurrence rides device-resident futures."""
         for enc in encs:
             x_hat, y_cond = self.decode_frame(enc, y_cond=y_cond)
             yield x_hat, y_cond
 
     # -- decoder side ---------------------------------------------------------
 
+    def _get_decode_full(self, shape4):
+        """Jitted single-dispatch decode for counts-carrying sparse frames:
+        one packed u8 payload [maskbits][values i8][z_sym i8] in, (x̂, ŷ)
+        out — params-from-ẑ, sparse unpack, reconstruct and g_s in ONE
+        dispatch, nothing fetched."""
+        key = tuple(int(v) for v in shape4)
+        if key in self._decode_full_cache:
+            return self._decode_full_cache[key]
+        b, hgt, wid, m = key
+        layout = self._sparse_layout(key)
+        n, cap = layout.n, layout.cap
+        zh, zw = -(-hgt // 4), -(-wid // 4)
+        zc = self.stem.tables["entropy_bottleneck"].rows
+        nbm, nval, nz = b * n // 8, b * cap, b * zh * zw * zc
+        stem, i_model = self.stem, self.i_model
+
+        def fn(payload, y_cond):
+            maskbits = payload[:nbm].reshape(b, n // 8)
+            values = jax.lax.bitcast_convert_type(
+                payload[nbm:nbm + nval], jnp.int8
+            ).reshape(b, cap)
+            z_sym = jax.lax.bitcast_convert_type(
+                payload[nbm + nval:nbm + nval + nz], jnp.int8
+            ).reshape(b, zh, zw, zc)
+            _, order, means = stem.fused_params_sparse_expr(z_sym, y_cond)
+            y_hat = stem.fused_reconstruct_sparse_expr(
+                maskbits, values, order, means, y_cond
+            )
+            return i_model._apply(y_hat, method="get_x"), y_hat
+
+        entry = (jax.jit(fn), layout)
+        self._decode_full_cache[key] = entry
+        return entry
+
+    def _decode_sparse_fetchfree(self, enc, y_cond):
+        """Host rANS (z + grouped y, counts from the container) → one packed
+        upload → one dispatch. Returns (x_hat, y_hat) futures."""
+        strings = enc["strings"]
+        zh, zw = enc["shape"]
+        b = len(strings[1])
+        shape4 = (b, zh * 4, zw * 4, self.stem.in_channels)
+        fn, layout = self._get_decode_full(shape4)
+
+        zt = self.stem.tables["entropy_bottleneck"]
+        z_idx = entropy_base.bottleneck_indexes((b, zh, zw, zt.rows), zt.rows)
+        z_sym = entropy_base.decompress(strings[1], z_idx, zt, self.stem.coder)
+        y_sorted = transport.decode_grouped(
+            strings[0], np.asarray(enc["counts"], np.int32),
+            self.stem.tables["gaussian_conditional"], self.stem.coder,
+        )
+        maskbits, values = transport.pack_decode_payload(y_sorted, layout.cap)
+        payload = np.concatenate([
+            maskbits.reshape(-1),
+            values.view(np.uint8).reshape(-1),
+            np.ascontiguousarray(z_sym.astype(np.int8)).view(np.uint8)
+            .reshape(-1),
+        ])
+        return fn(jnp.asarray(payload), y_cond)
+
     def decode_frame(self, enc_or_strings, shape=None, y_cond=None):
         """decode_frame(enc, y_cond=...) or decode_frame(strings, shape,
         y_cond). Returns (x_hat, y_hat); y_hat is the next frame's
-        conditioning. Two device dispatches + host rANS; sparse transport
-        moves only the 256-byte counts vector device→host.
+        conditioning. Counts-carrying sparse containers decode with ONE
+        dispatch and zero fetches; legacy sparse containers fetch the
+        256-byte counts vector from device; dense uses two dispatches.
         """
         if isinstance(enc_or_strings, dict):
             strings = enc_or_strings["strings"]
             shape = enc_or_strings["shape"]
             mode = enc_or_strings.get("transport", "dense")
+            if mode == "sparse" and "counts" in enc_or_strings:
+                return self._decode_sparse_fetchfree(enc_or_strings, y_cond)
         else:
             strings = enc_or_strings
             mode = "dense"

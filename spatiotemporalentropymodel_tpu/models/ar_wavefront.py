@@ -116,11 +116,16 @@ def make_wavefront_encoder(apply_ar_step, scale_table, in_channels: int):
 def make_wavefront_decode_step(apply_ar_step, scale_table):
     """Jitted per-wavefront decode helpers.
 
-    params_step(target_pad, priors, coords) -> (means (B,L,M), idx (B,L,M))
+    params_step(target_pad, priors, coords) -> (means (B,L,M), idx u8)
     write_step(target_pad, coords, valid, sym, means) -> target_pad
+    fused_step(target_pad, priors, c_prev, v_prev, sym_prev, means_prev,
+               c_next) -> (target_pad, means_next, idx_next) — writes
+    wavefront t's decoded pixels and computes wavefront t+1's parameters in
+    ONE dispatch, halving the per-round device calls (one dispatch + one
+    idx fetch per wavefront instead of two dispatches + one fetch).
     """
 
-    def params_step(target_pad, priors, coords):
+    def _params(target_pad, priors, coords):
         b = target_pad.shape[0]
         m = target_pad.shape[3]
         crops = _gather_crops(target_pad, coords)
@@ -131,14 +136,25 @@ def make_wavefront_decode_step(apply_ar_step, scale_table):
         )
         scales = scales.reshape(b, l, m)
         means = means.reshape(b, l, m)
-        idx = build_indexes(scales, scale_table).astype(jnp.int32)
+        # scale tables have ≤64 rows — u8 quarters the per-round fetch
+        idx = build_indexes(scales, scale_table).astype(jnp.uint8)
         return means, idx
+
+    def params_step(target_pad, priors, coords):
+        return _params(target_pad, priors, coords)
 
     def write_step(target_pad, coords, valid, sym, means):
         quantized = sym.astype(jnp.float32) + means
         return _scatter_plane(target_pad, coords, valid, quantized, (2, 2))
 
-    return jax.jit(params_step), jax.jit(write_step)
+    def fused_step(target_pad, priors, c_prev, v_prev, sym_prev, means_prev,
+                   c_next):
+        target_pad = write_step(target_pad, c_prev, v_prev, sym_prev,
+                                means_prev)
+        means, idx = _params(target_pad, priors, c_next)
+        return target_pad, means, idx
+
+    return jax.jit(params_step), jax.jit(write_step), jax.jit(fused_step)
 
 
 def flatten_wavefront(planes, coords, valid):

@@ -324,6 +324,10 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
             "strings": [y_strings, z_strings],
             "shape": tuple(z_shape[1:3]),
             "transport": "sparse",
+            # per-group CDF-row counts ride the container (G·levels i32 per
+            # batch element ≈ 1 KB; derivable from ẑ + decoded groups, but
+            # shipping them makes decode ONE dispatch with zero fetches)
+            "counts": counts,
         }
 
     def compress(self, y_cur, y_conditioned,
@@ -450,7 +454,10 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
         return self._jitted("priors_from_zsym", fn)
 
     def decompress(self, strings, shape, y_conditioned,
-                   transport_mode: str = "sparse") -> Dict[str, Any]:
+                   transport_mode: str = "sparse",
+                   counts=None) -> Dict[str, Any]:
+        """counts: optional (b, groups, levels) per-group CDF-row counts from
+        the container — enables the fetch-free one-dispatch decode."""
         assert isinstance(strings, list) and len(strings) == 2
         self._require_tables()
         zt = self.tables["entropy_bottleneck"]
@@ -459,14 +466,27 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
             (len(strings[1]), *shape, zt.rows), zt.rows
         )
         z_sym = entropy_base.decompress(strings[1], z_idx, zt, self.coder)
-        priors = self._priors_fn()(
-            jnp.asarray(z_sym.astype(np.int16)), y_conditioned
-        )
 
         b = len(strings[1])
         h, w = shape[0] * 4, shape[1] * 4
         gs = self.module.group_size
 
+        if transport_mode == "sparse" and counts is not None:
+            target_hat = self._decode_fetchfree(
+                strings[0], np.asarray(counts, np.int32), z_sym,
+                y_conditioned, b, h, w,
+            )
+            if target_hat is not None:
+                y_hat = (
+                    target_hat + jnp.asarray(y_conditioned)
+                    if self.residual
+                    else target_hat
+                )
+                return {"y_hat": y_hat}
+
+        priors = self._priors_fn()(
+            jnp.asarray(z_sym.astype(np.int16)), y_conditioned
+        )
         if transport_mode == "sparse":
             decoded = self._decode_groups_sparse(strings[0], priors, b, h, w)
         else:
@@ -481,6 +501,98 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
             else target_hat
         )
         return {"y_hat": y_hat}
+
+    # -- fetch-free decode (counts in the container) ---------------------------
+
+    def _get_fused_decode(self, b, h, w):
+        """ONE-dispatch decoder: (z_sym i8, payload u8, y_cond) → target_hat.
+
+        payload = concat over groups of [maskbits b·n_g/8][values i8 b·cap_g].
+        Group g's stable argsort of its CDF rows reproduces the encoder's
+        composite-key order restricted to the group (both order by (h, w, c)),
+        so the host-decoded grouped symbols scatter back exactly."""
+        key = ("fused_decode", b, h, w)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        gs = self.module.group_size
+        n_g = h * w * gs
+        cap = n_g // 4
+        medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
+                              jnp.float32)
+        table = self.tables["gaussian_conditional"].scale_table
+        seg_mask, seg_val = b * n_g // 8, b * cap
+
+        def fn(z_sym, payload, y_cond):
+            z_hat = z_sym.astype(jnp.float32) + medians
+            priors = self._apply(z_hat, y_cond, method="priors")
+            decoded = []
+            off = 0
+            for g in range(self.groups):
+                maskbits = payload[off:off + seg_mask].reshape(b, n_g // 8)
+                values = jax.lax.bitcast_convert_type(
+                    payload[off + seg_mask:off + seg_mask + seg_val], jnp.int8
+                ).reshape(b, cap)
+                off += seg_mask + seg_val
+                ctx = (
+                    jnp.concatenate(decoded, axis=-1)
+                    if decoded
+                    else jnp.zeros((b, h, w, 0), jnp.float32)
+                )
+                scales, means = self._apply(priors, ctx, g,
+                                            method="group_params")
+                idx = build_indexes(scales.astype(jnp.float32), table)
+                order = jnp.argsort(idx.reshape(b, n_g).astype(jnp.int32),
+                                    axis=-1)
+                bits = (
+                    (maskbits.reshape(b, n_g // 8, 1)
+                     >> jnp.arange(8, dtype=jnp.uint8)) & 1
+                )
+                mask = bits.reshape(b, n_g).astype(bool)
+                cums = jnp.cumsum(mask, axis=-1, dtype=jnp.int32)
+                gathered = jnp.take_along_axis(
+                    values, jnp.clip(cums - 1, 0, cap - 1), axis=-1
+                )
+                y_sorted = jnp.where(mask, gathered, jnp.int8(0))
+                flat = (
+                    jnp.zeros((b, n_g), jnp.int32)
+                    .at[jnp.arange(b)[:, None], order]
+                    .set(y_sorted.astype(jnp.int32))
+                )
+                decoded.append(
+                    flat.reshape(b, h, w, gs).astype(jnp.float32) + means
+                )
+            return jnp.concatenate(decoded, axis=-1)
+
+        self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def _decode_fetchfree(self, y_strings, counts, z_sym, y_cond, b, h, w):
+        """Host rANS for ALL groups up front (row counts from the container),
+        one packed upload, one dispatch. Returns None when a group's nonzeros
+        exceed the static payload capacity (caller falls back)."""
+        from ..entropy import transport
+
+        gt = self.tables["gaussian_conditional"]
+        gs = self.module.group_size
+        n_g = h * w * gs
+        cap = n_g // 4
+        segments = []
+        for g in range(self.groups):
+            y_sorted = transport.decode_grouped(
+                [y_strings[i][g] for i in range(b)], counts[:, g], gt,
+                self.coder,
+            )
+            if int((y_sorted != 0).sum(axis=-1).max()) > cap:
+                return None
+            maskbits, values = transport.pack_decode_payload(y_sorted, cap)
+            segments.append(maskbits.reshape(-1))
+            segments.append(values.view(np.uint8).reshape(-1))
+        payload = np.concatenate(segments)
+        fn = self._get_fused_decode(b, h, w)
+        return fn(
+            jnp.asarray(np.ascontiguousarray(z_sym.astype(np.int8))),
+            jnp.asarray(payload), y_cond,
+        )
 
     def _decode_groups_dense(self, y_strings, priors, b, h, w, gs, gt):
         params_fns = self._group_params_fn()

@@ -529,11 +529,11 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
                 return self._apply(crops, pvec, method="ar_step")
 
             encoder = wf.make_wavefront_encoder(apply_ar_step, table, self.M)
-            params_step, write_step = wf.make_wavefront_decode_step(
-                apply_ar_step, table
+            params_step, write_step, fused_step = (
+                wf.make_wavefront_decode_step(apply_ar_step, table)
             )
             self._wavefront_cache[key] = (
-                coords, valid, encoder, params_step, write_step,
+                coords, valid, encoder, params_step, write_step, fused_step,
             )
         return self._wavefront_cache[key]
 
@@ -541,7 +541,7 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
         from . import ar_wavefront as wf
 
         b, hgt, wid, _ = y.shape
-        coords, valid, encoder, _, _ = self._wavefront_setup(hgt, wid)
+        coords, valid, encoder, *_ = self._wavefront_setup(hgt, wid)
         syms, idxs, _ = encoder(jnp.asarray(y), params, coords, valid)
         sym_flat = wf.flatten_wavefront(syms, coords, valid)
         idx_flat = wf.flatten_wavefront(idxs, coords, valid)
@@ -558,29 +558,34 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
         b = params.shape[0]
         m = self.M
         t = self.tables["gaussian_conditional"]
-        coords, valid, _, params_step, write_step = self._wavefront_setup(
-            hgt, wid
+        coords, valid, _, params_step, write_step, fused_step = (
+            self._wavefront_setup(hgt, wid)
         )
         valid_np = np.asarray(valid)
         decoders = [self.coder.make_stream_decoder(s) for s in strings[0]]
         y_hat_pad = jnp.zeros((b, hgt + 4, wid + 4, m), jnp.float32)
         L = coords.shape[1]
-        for ti in range(coords.shape[0]):
+        T = coords.shape[0]
+        means, idx = params_step(y_hat_pad, params, coords[0])
+        for ti in range(T):
             v = valid_np[ti]
             n_valid = int(v.sum())
-            if n_valid == 0:
-                continue
-            means, idx = params_step(y_hat_pad, params, coords[ti])
-            idx_np = np.asarray(idx)
+            idx_np = np.asarray(idx, np.int32)
             sym = np.zeros((b, L, m), np.int32)
             for i in range(b):
                 decoded = decoders[i].decode(
                     idx_np[i, v].reshape(-1), t.cdf, t.cdf_length, t.offset
                 )
                 sym[i, v] = decoded.reshape(n_valid, m)
-            y_hat_pad = write_step(
-                y_hat_pad, coords[ti], valid[ti], jnp.asarray(sym), means
-            )
+            if ti + 1 < T:
+                y_hat_pad, means, idx = fused_step(
+                    y_hat_pad, params, coords[ti], valid[ti],
+                    jnp.asarray(sym), means, coords[ti + 1],
+                )
+            else:
+                y_hat_pad = write_step(
+                    y_hat_pad, coords[ti], valid[ti], jnp.asarray(sym), means
+                )
         return y_hat_pad[:, 2:-2, 2:-2, :]
 
     # -- AR helpers ---------------------------------------------------------

@@ -583,11 +583,11 @@ class SpatioTemporalPriorModel(CompressionModel):
             encoder = wf.make_wavefront_encoder(
                 apply_ar_step, table, self.in_channels
             )
-            params_step, write_step = wf.make_wavefront_decode_step(
+            params_step, write_step, fused_step = wf.make_wavefront_decode_step(
                 apply_ar_step, table
             )
             self._wavefront_cache[key] = (
-                coords, valid, encoder, params_step, write_step,
+                coords, valid, encoder, params_step, write_step, fused_step,
             )
         return self._wavefront_cache[key]
 
@@ -601,7 +601,7 @@ class SpatioTemporalPriorModel(CompressionModel):
             else jnp.asarray(y_cur)
         )
         b, hgt, wid, m = target.shape
-        coords, valid, encoder, _, _ = self._wavefront_setup(hgt, wid)
+        coords, valid, encoder, *_ = self._wavefront_setup(hgt, wid)
         syms, idxs, _ = encoder(target, priors, coords, valid)
 
         sym_flat = wf.flatten_wavefront(syms, coords, valid)  # (B, N·M)
@@ -621,31 +621,38 @@ class SpatioTemporalPriorModel(CompressionModel):
         hgt, wid = z_hat.shape[1] * 4, z_hat.shape[2] * 4
         m = self.in_channels
         t = self.tables["gaussian_conditional"]
-        coords, valid, _, params_step, write_step = self._wavefront_setup(
-            hgt, wid
+        coords, valid, _, params_step, write_step, fused_step = (
+            self._wavefront_setup(hgt, wid)
         )
         valid_np = np.asarray(valid)
 
         decoders = [self.coder.make_stream_decoder(s) for s in strings[0]]
         target_pad = jnp.zeros((b, hgt + 4, wid + 4, m), jnp.float32)
         L = coords.shape[1]
-        for ti in range(coords.shape[0]):
-            c = coords[ti]
+        T = coords.shape[0]
+        # every wavefront t ∈ [0, T) is non-empty for w > span (the t-buckets
+        # tile the grid), so the fused write(t)+params(t+1) dispatch applies
+        # uniformly: ONE dispatch + one u8 idx fetch per wavefront
+        means, idx = params_step(target_pad, priors, coords[0])
+        for ti in range(T):
             v = valid_np[ti]
             n_valid = int(v.sum())
-            if n_valid == 0:
-                continue
-            means, idx = params_step(target_pad, priors, c)
-            idx_np = np.asarray(idx)  # (B, L, M)
+            idx_np = np.asarray(idx, np.int32)  # (B, L, M)
             sym = np.zeros((b, L, m), np.int32)
             for i in range(b):
                 decoded = decoders[i].decode(
                     idx_np[i, v].reshape(-1), t.cdf, t.cdf_length, t.offset
                 )
                 sym[i, v] = decoded.reshape(n_valid, m)
-            target_pad = write_step(
-                target_pad, c, valid[ti], jnp.asarray(sym), means
-            )
+            if ti + 1 < T:
+                target_pad, means, idx = fused_step(
+                    target_pad, priors, coords[ti], valid[ti],
+                    jnp.asarray(sym), means, coords[ti + 1],
+                )
+            else:
+                target_pad = write_step(
+                    target_pad, coords[ti], valid[ti], jnp.asarray(sym), means
+                )
 
         target_hat = target_pad[:, 2:-2, 2:-2, :]
         y_hat = (

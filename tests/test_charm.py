@@ -132,3 +132,13 @@ class TestCodec:
         np.testing.assert_allclose(
             np.asarray(dec_s["y_hat"]), np.asarray(dec_d["y_hat"]), atol=1e-5
         )
+
+        # fetch-free path (counts from the container, one dispatch) must
+        # reconstruct identically to the per-group fetch path
+        assert "counts" in enc_s
+        dec_f = m.decompress(enc_s["strings"], enc_s["shape"], y_cond,
+                             transport_mode="sparse",
+                             counts=enc_s["counts"])
+        np.testing.assert_array_equal(
+            np.asarray(dec_f["y_hat"]), np.asarray(dec_s["y_hat"])
+        )

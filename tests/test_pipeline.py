@@ -105,6 +105,32 @@ def test_sparse_transport_roundtrip(setup):
     assert sum(len(s) for s in enc["strings"][0]) > 0
 
 
+def test_sparse_counts_in_container_and_legacy_fetch_agree(setup):
+    """The container carries the CDF-row counts (fetch-free decode). A
+    legacy container without counts must decode identically via the
+    device-fetch path."""
+    x, imodel, _ = setup
+    stem = _scaled_stem()
+    pipe = StemVideoPipeline(imodel, stem, transport_mode="sparse")
+
+    rng = np.random.default_rng(11)
+    y_cur = jnp.asarray(
+        rng.choice(
+            [0, 1, -1, 3], size=(1, 4, 4, M), p=[0.85, 0.07, 0.06, 0.02]
+        ).astype(np.float32)
+    )
+    y_cond = jnp.asarray(rng.normal(0, 0.1, (1, 4, 4, M)).astype(np.float32))
+    packed = jax.jit(stem.fused_encode_sparse_expr)(y_cur, y_cond)
+    enc = pipe.code_sparse_buffer(np.asarray(packed), tuple(y_cur.shape))
+    assert enc is not None and "counts" in enc
+
+    x_new, y_new = pipe.decode_frame(enc, y_cond=y_cond)
+    legacy = {k: v for k, v in enc.items() if k != "counts"}
+    x_old, y_old = pipe.decode_frame(legacy, y_cond=y_cond)
+    np.testing.assert_array_equal(np.asarray(y_new), np.asarray(y_old))
+    np.testing.assert_array_equal(np.asarray(x_new), np.asarray(x_old))
+
+
 def test_sparse_overflow_falls_back_to_dense(setup):
     """Untrained nets emit symbols far outside int8 — encode_frame must
     transparently fall back to the dense transport and stay decodable."""
