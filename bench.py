@@ -178,31 +178,38 @@ def run_pipeline(batch: int) -> dict:
     gc_tables = stem.tables["gaussian_conditional"]
     z_idx = eb.bottleneck_indexes((batch, H // 64, W // 64, zt.rows), zt.rows)
 
-    # instrumented single-frame pass (per-stage syncs) for the breakdown;
-    # mirrors pipeline._decode_sparse_fetchfree with timers
-    stages = {"host_enc": [], "dec_z": [], "dec_y": [], "dec_dispatch": []}
-    t = time.perf_counter()
-    packed, _ = bench_encode(x, y_cond, key)
-    enc = encode_host(np.asarray(packed))
-    stages["host_enc"].append(time.perf_counter() - t)
-    t = time.perf_counter()
-    z_sym = eb.decompress(enc["strings"][1], z_idx, zt, stem.coder)
-    stages["dec_z"].append(time.perf_counter() - t)
-    t = time.perf_counter()
-    y_sorted = tp.decode_grouped(enc["strings"][0], enc["counts"], gc_tables,
-                                 stem.coder)
-    maskbits, values = tp.pack_decode_payload(y_sorted, layout.cap)
-    payload = np.concatenate([
-        maskbits.reshape(-1), values.view(np.uint8).reshape(-1),
-        np.ascontiguousarray(z_sym.astype(np.int8)).view(np.uint8)
-        .reshape(-1),
-    ])
-    stages["dec_y"].append(time.perf_counter() - t)
-    t = time.perf_counter()
-    fn, _ = pipe._get_decode_full(shape4)
-    x_hat, _ = fn(jnp.asarray(payload), y_cond)
-    jax.block_until_ready(x_hat)
-    stages["dec_dispatch"].append(time.perf_counter() - t)
+    # instrumented pass (per-stage syncs, 3 samples → median) for the
+    # breakdown; mirrors pipeline._decode_sparse_fetchfree with timers.
+    # fetch/dec_dispatch are tunnel-dominated; host_* are pure host work.
+    stages = {"fetch": [], "host_enc": [], "dec_z": [], "dec_y": [],
+              "dec_dispatch": []}
+    for _ in range(3):
+        packed, _ = bench_encode(x, y_cond, key)
+        jax.block_until_ready(packed)
+        t = time.perf_counter()
+        buf = np.asarray(packed)
+        stages["fetch"].append(time.perf_counter() - t)
+        t = time.perf_counter()
+        enc = encode_host(buf)
+        stages["host_enc"].append(time.perf_counter() - t)
+        t = time.perf_counter()
+        z_sym = eb.decompress(enc["strings"][1], z_idx, zt, stem.coder)
+        stages["dec_z"].append(time.perf_counter() - t)
+        t = time.perf_counter()
+        y_sorted = tp.decode_grouped(enc["strings"][0], enc["counts"],
+                                     gc_tables, stem.coder)
+        maskbits, values = tp.pack_decode_payload(y_sorted, layout.cap)
+        payload = np.concatenate([
+            maskbits.reshape(-1), values.view(np.uint8).reshape(-1),
+            np.ascontiguousarray(z_sym.astype(np.int8)).view(np.uint8)
+            .reshape(-1),
+        ])
+        stages["dec_y"].append(time.perf_counter() - t)
+        t = time.perf_counter()
+        fn, _ = pipe._get_decode_full(shape4)
+        x_hat, _ = fn(jnp.asarray(payload), y_cond)
+        jax.block_until_ready(x_hat)
+        stages["dec_dispatch"].append(time.perf_counter() - t)
 
     # throughput pass: streaming GOP, no per-frame sync anywhere
     iters = max(24 // batch, 6)

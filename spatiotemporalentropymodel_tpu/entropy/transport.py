@@ -30,10 +30,16 @@ class SparseLayout:
     n: int  # y symbols per batch element
     zn: int  # z symbols per batch element
     levels: int
+    # values-plane capacity divisor; must mirror the encode expression's
+    # capacity (models/stem.py::_sparse_capacity → 8 with a 64 floor,
+    # charm.py → 4)
+    cap_div: int = 8
 
     @property
     def cap(self) -> int:
-        return self.n // 4
+        if self.cap_div == 8:  # stem layout incl. small-plane floor
+            return min(self.n, max(self.n // 8, 64))
+        return self.n // self.cap_div
 
     @property
     def sizes(self):

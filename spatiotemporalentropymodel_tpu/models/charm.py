@@ -290,7 +290,7 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
         z_shape = (b, -(-h // 4), -(-w // 4), zt.rows)
         layout = transport.SparseLayout(
             b=b, n=h * w * m, zn=int(np.prod(z_shape[1:])),
-            levels=self.groups * levels,
+            levels=self.groups * levels, cap_div=4,
         )
         packed = np.asarray(self._fused_encode_sparse_fn()(y_cur,
                                                            y_conditioned))
