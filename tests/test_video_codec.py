@@ -1,0 +1,81 @@
+"""File-level GOP video codec (.stemv container) round-trip tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatiotemporalentropymodel_tpu.eval.video_codec import (
+    decode_video,
+    encode_video,
+)
+from spatiotemporalentropymodel_tpu.models import (
+    MeanScaleHyperprior,
+    SpatioTemporalPriorModel,
+)
+
+M = 12
+
+
+def _models():
+    x = jnp.zeros((1, 64, 64, 3))
+    i_model = MeanScaleHyperprior(8, M)
+    i_model.init(x)
+    i_model.params = jax.tree_util.tree_map(lambda p: p * 0.05, i_model.params)
+    i_model.update()
+    stem = SpatioTemporalPriorModel(
+        variant="without_spm", entropy_bottleneck_channels=16, in_channels=M
+    )
+    d = jnp.zeros((1, 4, 4, M))
+    stem.init(d, d)
+    stem.params = jax.tree_util.tree_map(lambda p: p * 0.01, stem.params)
+    stem.update()
+    return i_model, stem
+
+
+def test_stemv_roundtrip(tmp_path):
+    """encode → .stemv file → decode must reproduce the in-memory pipeline's
+    reconstructions exactly (streams, counts and the GOP carry all survive
+    serialization), across an I-frame refresh."""
+    i_model, stem = _models()
+    rng = np.random.default_rng(0)
+    base = rng.random((60, 62, 3)).astype(np.float32)  # non-×64 size
+    frames = [np.clip(base + 0.01 * t, 0, 1) for t in range(5)]
+
+    out = tmp_path / "seq.stemv"
+    stats = encode_video(frames, i_model, stem, out, gop=3)
+    assert stats["frames"] == 5 and stats["bytes"] == out.stat().st_size
+
+    decoded = decode_video(out, i_model, stem, output_dir=tmp_path / "rec")
+    assert len(decoded) == 5
+    for fr in decoded:
+        assert fr.shape == (60, 62, 3)
+        assert np.isfinite(fr).all()
+    assert sorted(p.name for p in (tmp_path / "rec").iterdir()) == [
+        f"frame_{i:04d}.png" for i in range(5)
+    ]
+
+    # file decode must equal the in-memory recurrence: re-encoding frame 1
+    # from the file-decoded carry reproduces frame 1's stream
+    from spatiotemporalentropymodel_tpu.eval.pipeline import StemVideoPipeline
+    from spatiotemporalentropymodel_tpu.ops.padding import pad_centered
+
+    pipe = StemVideoPipeline(i_model, stem)
+    x0, _ = pad_centered(jnp.asarray(frames[0])[None], 64)
+    enc0 = i_model.compress(x0)
+    y_cond = i_model.decompress(enc0["strings"], tuple(enc0["shape"]))["y_hat"]
+    x1, _ = pad_centered(jnp.asarray(frames[1])[None], 64)
+    enc1, _ = pipe.encode_frame(x1, y_cond)
+
+    import struct
+
+    from spatiotemporalentropymodel_tpu.eval.video_codec import _read_frame
+
+    with out.open("rb") as f:
+        f.read(6)
+        f.read(12)
+        _read_frame(f)  # I-frame record
+        ftype, shape, counts, strings = _read_frame(f)
+    assert ftype == 1
+    assert strings[0][0] == enc1["strings"][0][0]
+    assert strings[1][0] == enc1["strings"][1][0]
+    np.testing.assert_array_equal(counts, np.asarray(enc1["counts"])[0])
