@@ -22,6 +22,16 @@ from . import base as entropy_base
 from .tables import CodecTables
 
 
+def sparse_capacity(n: int) -> int:
+    """Values-plane capacity for n symbols — THE single definition both the
+    device encode expression (models/stem.py::_sparse_capacity) and the host
+    unpack (SparseLayout.cap) must agree on. Converged models run ~5-8%
+    nonzeros at the published 0.08-0.16 bpp, so n/8 leaves ~2× headroom
+    (overflow falls back to the dense transport); small planes get a floor
+    since their byte cost is negligible and their nonzero fraction noisier."""
+    return min(n, max(n // 8, 64))
+
+
 @dataclass(frozen=True)
 class SparseLayout:
     """Byte offsets of ``fused_encode_sparse_expr``'s buffer."""
@@ -30,16 +40,14 @@ class SparseLayout:
     n: int  # y symbols per batch element
     zn: int  # z symbols per batch element
     levels: int
-    # values-plane capacity divisor; must mirror the encode expression's
-    # capacity (models/stem.py::_sparse_capacity → 8 with a 64 floor,
-    # charm.py → 4)
-    cap_div: int = 8
+    # explicit values-plane capacity for layouts whose encoder uses a
+    # different formula (charm.py packs n//4); default = sparse_capacity(n)
+    cap_value: int = None
 
     @property
     def cap(self) -> int:
-        if self.cap_div == 8:  # stem layout incl. small-plane floor
-            return min(self.n, max(self.n // 8, 64))
-        return self.n // self.cap_div
+        return self.cap_value if self.cap_value is not None else \
+            sparse_capacity(self.n)
 
     @property
     def sizes(self):

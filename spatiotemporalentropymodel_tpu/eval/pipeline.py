@@ -319,9 +319,7 @@ class StemVideoPipeline:
                 strings[0], counts,
                 self.stem.tables["gaussian_conditional"], self.stem.coder,
             )
-            cap = transport.SparseLayout(
-                b=y_sorted.shape[0], n=y_sorted.shape[1], zn=0, levels=1
-            ).cap
+            cap = transport.sparse_capacity(y_sorted.shape[1])
             maskbits, values = transport.pack_decode_payload(y_sorted, cap)
             y_hat, x_hat = self._finish_sparse(
                 jnp.asarray(maskbits), jnp.asarray(values), order, means,

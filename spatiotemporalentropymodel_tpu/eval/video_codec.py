@@ -76,6 +76,8 @@ def encode_video(frames, i_model, stem, output, gop: int = 12,
     re-derive it (evalSTEM.py:144-153 carries out_dec['y_hat'])."""
     from .pipeline import StemVideoPipeline
 
+    if not 1 <= gop <= 255:
+        raise ValueError(f"gop must be in [1, 255] (container u8), got {gop}")
     pipe = pipeline or StemVideoPipeline(i_model, stem,
                                          transport_mode="sparse")
     y_cond = None
@@ -87,10 +89,22 @@ def encode_video(frames, i_model, stem, output, gop: int = 12,
         x = jnp.asarray(img, jnp.float32)[None]
         if h is None:
             h, w = x.shape[1], x.shape[2]
+        elif (x.shape[1], x.shape[2]) != (h, w):
+            raise ValueError(
+                f"frame {t} is {x.shape[1]}x{x.shape[2]}, but the sequence "
+                f"started at {h}x{w} — .stemv holds one fixed-size sequence"
+            )
         x_padded, _ = pad_centered(x, 64)
         if t % gop == 0:
             enc = i_model.compress(x_padded)
             dec = i_model.decompress(enc["strings"], tuple(enc["shape"]))
+            if "y_hat" not in dec:
+                raise ValueError(
+                    f"I-frame model {type(i_model).__name__} does not expose "
+                    "the latent in decompress(); the video codec needs a "
+                    "mean-scale family model (mbt2018-mean) whose decode "
+                    "returns y_hat for the P-frame conditioning"
+                )
             y_cond = dec["y_hat"]
             body.append((0, tuple(enc["shape"]), None, enc["strings"]))
         else:
@@ -142,6 +156,12 @@ def decode_video(input_path, i_model, stem, output_dir=None, pipeline=None):
     for ftype, shape, counts, strings in records:
         if ftype == 0:
             dec = i_model.decompress(strings, shape)
+            if "y_hat" not in dec:
+                raise ValueError(
+                    f"I-frame model {type(i_model).__name__} does not expose "
+                    "the latent in decompress(); use a mean-scale family "
+                    "model (mbt2018-mean) for .stemv decode"
+                )
             x_hat, y_cond = dec["x_hat"], dec["y_hat"]
         else:
             enc = {"strings": strings, "shape": shape,
@@ -205,7 +225,11 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
 
     def common(p):
-        p.add_argument("--i-model", default="mbt2018-mean")
+        # restricted to architectures whose decompress() exposes y_hat
+        # (the P-frame conditioning latent)
+        p.add_argument("--i-model", default="mbt2018-mean",
+                       choices=("mbt2018-mean", "mbt2018", "cheng2020-anchor",
+                                "cheng2020-attn"))
         p.add_argument("--i-quality", type=int, default=3)
         p.add_argument("--i-checkpoint")
         p.add_argument("--stem-variant", default="without_spm",
@@ -213,10 +237,16 @@ def main(argv=None):
         p.add_argument("--stem-channels", type=int, default=256)
         p.add_argument("--stem-checkpoint")
 
+    def gop_type(v):
+        v = int(v)
+        if not 1 <= v <= 255:
+            raise argparse.ArgumentTypeError("gop must be in [1, 255]")
+        return v
+
     enc = sub.add_parser("encode")
     enc.add_argument("frames_dir")
     enc.add_argument("-o", "--output", required=True)
-    enc.add_argument("--gop", type=int, default=12)
+    enc.add_argument("--gop", type=gop_type, default=12)
     common(enc)
     dec = sub.add_parser("decode")
     dec.add_argument("input")

@@ -125,6 +125,12 @@ def make_wavefront_decode_step(apply_ar_step, scale_table):
     idx fetch per wavefront instead of two dispatches + one fetch).
     """
 
+    if int(jnp.shape(scale_table)[0]) > 256:
+        raise ValueError(
+            "wavefront decode ships u8 CDF indexes; scale tables are "
+            f"limited to 256 rows (got {int(jnp.shape(scale_table)[0])})"
+        )
+
     def _params(target_pad, priors, coords):
         b = target_pad.shape[0]
         m = target_pad.shape[3]

@@ -290,7 +290,8 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
         z_shape = (b, -(-h // 4), -(-w // 4), zt.rows)
         layout = transport.SparseLayout(
             b=b, n=h * w * m, zn=int(np.prod(z_shape[1:])),
-            levels=self.groups * levels, cap_div=4,
+            levels=self.groups * levels,
+            cap_value=(h * w * m) // 4,  # mirrors _fused_encode_sparse_fn
         )
         packed = np.asarray(self._fused_encode_sparse_fn()(y_cur,
                                                            y_conditioned))

@@ -324,12 +324,9 @@ class SpatioTemporalPriorModel(CompressionModel):
 
     @staticmethod
     def _sparse_capacity(n: int) -> int:
-        # converged models run ~5-8% nonzeros at the published 0.08-0.16 bpp;
-        # n/8 halves the link bytes vs n/4 and still leaves ~2x headroom
-        # (overflow falls back to the dense transport). Small planes get a
-        # floor — their byte cost is negligible and their nonzero fraction
-        # noisier. Must mirror entropy/transport.py::SparseLayout.cap.
-        return min(n, max(n // 8, 64))
+        from ..entropy.transport import sparse_capacity
+
+        return sparse_capacity(n)
 
     def fused_encode_sparse_expr(self, y_cur, y_cond):
         """(y_cur, y_cond) → ONE packed u8 transport buffer.
