@@ -467,8 +467,16 @@ def main():
     try:
         if left() > 500:
             extras["charm_1080p"] = run_charm()
+            _emit(results, extras, to_stdout=False)
     except Exception as e:  # pragma: no cover
         extras["charm_error"] = repr(e)[:200]
+    try:
+        # larger batch amortizes the per-dispatch RPC cost further; last so
+        # its two extra compiles can never crowd out the extras above
+        if left() > 700:
+            results[8] = run_pipeline(8)
+    except Exception as e:  # pragma: no cover
+        extras["b8_error"] = repr(e)[:200]
 
     _emit(results, extras, to_stdout=True)
 
