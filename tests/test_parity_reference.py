@@ -606,6 +606,324 @@ class TestStemROI:
         )
 
 
+class TestFactorizedPrior:
+    """Shared-weight FactorizedPrior (priors.py:109-181): the EB-only codec."""
+
+    N, M = 32, 48
+
+    @pytest.fixture(scope="class")
+    def pair(self, compressai):
+        torch.manual_seed(51)
+        ref = compressai.models.FactorizedPrior(self.N, self.M)
+        ref.eval()
+        ours = jmodels.FactorizedPrior(self.N, self.M)
+        ours.init(np.zeros((1, 64, 64, 3), np.float32))
+        ours.params = convert_state_dict(
+            torch_state_dict(ref), ours.params, KEY_MAPS["bmshj2018-factorized"]
+        )
+        return ref, ours
+
+    @pytest.fixture(scope="class")
+    def image(self):
+        rng = np.random.default_rng(53)
+        return rng.random((1, 64, 64, 3), np.float32).astype(np.float32)
+
+    def test_forward_parity(self, pair, image):
+        ref, ours = pair
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(to_nchw(image)))
+        our_out = ours.forward(image, train=False)
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["x_hat"].numpy()), np.asarray(our_out["x_hat"]),
+            atol=1e-4,
+        )
+        n = image.shape[1] * image.shape[2]
+        ref_bpp = _bpp(
+            {k: v.numpy() for k, v in ref_out["likelihoods"].items()}, n
+        )
+        assert ref_bpp == pytest.approx(
+            _bpp(our_out["likelihoods"], n), rel=BPP_RTOL
+        )
+
+    def test_bitstream_parity(self, pair, image):
+        ref, ours = pair
+        _adopt_ref_tables(ref, ours)
+        with torch.no_grad():
+            ref_enc = ref.compress(torch.from_numpy(to_nchw(image)))
+        our_enc = ours.compress(image)
+        assert ref_enc["strings"][0] == our_enc["strings"][0], "y stream"
+        our_dec = ours.decompress(ref_enc["strings"], tuple(ref_enc["shape"]))
+        with torch.no_grad():
+            ref_dec = ref.decompress(ref_enc["strings"], ref_enc["shape"])
+        np.testing.assert_allclose(
+            to_nhwc(ref_dec["x_hat"].numpy()), np.asarray(our_dec["x_hat"]),
+            atol=1e-4,
+        )
+
+
+class TestScaleHyperprior:
+    """Shared-weight ScaleHyperprior (priors.py:196-313): σ-only GC."""
+
+    N, M = 32, 48
+
+    @pytest.fixture(scope="class")
+    def pair(self, compressai):
+        torch.manual_seed(61)
+        ref = compressai.models.ScaleHyperprior(self.N, self.M)
+        ref.eval()
+        ours = jmodels.ScaleHyperprior(self.N, self.M)
+        ours.init(np.zeros((1, 64, 64, 3), np.float32))
+        ours.params = convert_state_dict(
+            torch_state_dict(ref), ours.params, KEY_MAPS["bmshj2018-hyperprior"]
+        )
+        return ref, ours
+
+    @pytest.fixture(scope="class")
+    def image(self):
+        rng = np.random.default_rng(67)
+        return rng.random((1, 64, 64, 3), np.float32).astype(np.float32)
+
+    def test_forward_parity(self, pair, image):
+        ref, ours = pair
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(to_nchw(image)))
+        our_out = ours.forward(image, train=False)
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["x_hat"].numpy()), np.asarray(our_out["x_hat"]),
+            atol=1e-4,
+        )
+        n = image.shape[1] * image.shape[2]
+        ref_bpp = _bpp(
+            {k: v.numpy() for k, v in ref_out["likelihoods"].items()}, n
+        )
+        assert ref_bpp == pytest.approx(
+            _bpp(our_out["likelihoods"], n), rel=BPP_RTOL
+        )
+
+    def test_bitstream_parity(self, pair, image):
+        ref, ours = pair
+        _adopt_ref_tables(ref, ours)
+        with torch.no_grad():
+            ref_enc = ref.compress(torch.from_numpy(to_nchw(image)))
+        our_enc = ours.compress(image)
+        assert ref_enc["strings"][0] == our_enc["strings"][0], "y stream"
+        assert ref_enc["strings"][1] == our_enc["strings"][1], "z stream"
+
+
+class TestSTEMWithoutSPMTPM:
+    """Shared-weight hyperprior-only STEM variant
+    (spatiotemporalpriors.py:33-129), the remaining parallel codec path."""
+
+    EBC, IC = 256, 48
+
+    @pytest.fixture(scope="class")
+    def pair(self, compressai):
+        torch.manual_seed(71)
+        ref = compressai.models.SpatioTemporalPriorModelWithoutSPMTPM(
+            entropy_bottleneck_channels=self.EBC, in_channels=self.IC
+        )
+        ref.eval()
+        ours = jmodels.SpatioTemporalPriorModel(
+            variant="without_spm_tpm",
+            entropy_bottleneck_channels=self.EBC,
+            in_channels=self.IC,
+        )
+        dummy = np.zeros((1, 8, 8, self.IC), np.float32)
+        ours.init(dummy, dummy)
+        ours.params = convert_state_dict(
+            torch_state_dict(ref), ours.params, KEY_MAPS["stem"]
+        )
+        return ref, ours
+
+    @pytest.fixture(scope="class")
+    def latents(self):
+        rng = np.random.default_rng(73)
+        y_cur = rng.normal(0, 1, (1, 8, 8, self.IC)).astype(np.float32)
+        y_cond = (y_cur + rng.normal(0, 0.3, y_cur.shape)).astype(np.float32)
+        return y_cur, y_cond
+
+    def test_forward_parity(self, pair, latents):
+        ref, ours = pair
+        y_cur, y_cond = latents
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(to_nchw(y_cur)),
+                torch.from_numpy(to_nchw(y_cond)),
+            )
+        our_out = ours.forward(y_cur, y_cond, train=False)
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["y_hat"].numpy()), np.asarray(our_out["y_hat"]),
+            atol=1e-4,
+        )
+        n = y_cur.shape[1] * y_cur.shape[2]
+        ref_bpp = _bpp(
+            {k: v.numpy() for k, v in ref_out["likelihoods"].items()}, n
+        )
+        assert ref_bpp == pytest.approx(
+            _bpp(our_out["likelihoods"], n), rel=BPP_RTOL
+        )
+
+    def test_bitstream_parity(self, pair, latents):
+        ref, ours = pair
+        y_cur, y_cond = latents
+        _adopt_ref_tables(ref, ours)
+        with torch.no_grad():
+            ref_enc = ref.compress(
+                torch.from_numpy(to_nchw(y_cur)),
+                torch.from_numpy(to_nchw(y_cond)),
+            )
+        our_enc = ours.compress(y_cur, y_cond)
+        assert ref_enc["strings"][0] == our_enc["strings"][0], "y stream"
+        assert ref_enc["strings"][1] == our_enc["strings"][1], "z stream"
+
+
+class TestStemBaselineV2:
+    """Shared-weight stem_baselinev2 (separate ConditionEncoder,
+    stem_roi.py:182-348)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self, compressai):
+        torch.manual_seed(81)
+        ref = load_stem_roi().stem_baselinev2(
+            entropy_bottleneck_channels=256, in_channels=48
+        )
+        ref.eval()
+        from spatiotemporalentropymodel_tpu.models import StemBaselineV2
+
+        ours = StemBaselineV2(entropy_bottleneck_channels=256, in_channels=48)
+        img = np.zeros((1, 64, 64, 3), np.float32)
+        ours.init(img, img)
+        ours.params = convert_state_dict(
+            torch_state_dict(ref), ours.params, KEY_MAPS["stem-baseline"]
+        )
+        return ref, ours
+
+    def test_forward_and_bitstream_parity(self, pair):
+        ref, ours = pair
+        rng = np.random.default_rng(83)
+        x_cur = rng.random((1, 64, 64, 3), np.float32).astype(np.float32)
+        x_cond = np.clip(
+            x_cur + rng.normal(0, 0.03, x_cur.shape), 0, 1
+        ).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(to_nchw(x_cur)),
+                torch.from_numpy(to_nchw(x_cond)),
+            )
+        our_out = ours.forward(x_cur, x_cond, train=False)
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["x_hat"].numpy()), np.asarray(our_out["x_hat"]),
+            atol=2e-4,
+        )
+        n = x_cur.shape[1] * x_cur.shape[2]
+        ref_bpp = _bpp(
+            {k: v.numpy() for k, v in ref_out["likelihoods"].items()}, n
+        )
+        assert ref_bpp == pytest.approx(
+            _bpp(our_out["likelihoods"], n), rel=BPP_RTOL
+        )
+
+        _adopt_ref_tables(ref, ours)
+        with torch.no_grad():
+            ref_enc = ref.compress(
+                torch.from_numpy(to_nchw(x_cur)),
+                torch.from_numpy(to_nchw(x_cond)),
+            )
+        our_enc = ours.compress(x_cur, x_cond)
+        assert ref_enc["strings"][0] == our_enc["strings"][0], "y stream"
+        assert ref_enc["strings"][1] == our_enc["strings"][1], "z stream"
+
+
+class TestStemROIWoGsc:
+    """Shared-weight stem_roi_wo_gsc ablation (plain g_s decoder,
+    stem_roi.py:702-1013)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self, compressai):
+        torch.manual_seed(91)
+        ref = load_stem_roi().stem_roi_wo_gsc()
+        ref.eval()
+        from spatiotemporalentropymodel_tpu.models import StemROIWoGsc
+
+        ours = StemROIWoGsc()
+        img = np.zeros((1, 64, 64, 3), np.float32)
+        qmap = np.zeros((1, 64, 64, 1), np.float32)
+        ours.init(img, img, qmap)
+        ours.params = convert_state_dict(
+            torch_state_dict(ref), ours.params, KEY_MAPS["stem-roi"]
+        )
+        return ref, ours
+
+    def test_forward_and_bitstream_parity(self, pair):
+        ref, ours = pair
+        rng = np.random.default_rng(93)
+        x_cur = rng.random((1, 64, 64, 3), np.float32).astype(np.float32)
+        x_cond = np.clip(
+            x_cur + rng.normal(0, 0.03, x_cur.shape), 0, 1
+        ).astype(np.float32)
+        qmap = rng.random((1, 64, 64, 1), np.float32).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(to_nchw(x_cur)),
+                torch.from_numpy(to_nchw(x_cond)),
+                torch.from_numpy(to_nchw(qmap)),
+            )
+        our_out = ours.forward(x_cur, x_cond, qmap, train=False)
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["x_hat"].numpy()), np.asarray(our_out["x_hat"]),
+            atol=5e-4,
+        )
+        n = x_cur.shape[1] * x_cur.shape[2]
+        ref_bpp = _bpp(
+            {k: v.numpy() for k, v in ref_out["likelihoods"].items()}, n
+        )
+        assert ref_bpp == pytest.approx(
+            _bpp(our_out["likelihoods"], n), rel=BPP_RTOL
+        )
+
+        _adopt_ref_tables(ref, ours)
+        with torch.no_grad():
+            ref_enc = ref.compress(
+                torch.from_numpy(to_nchw(x_cur)),
+                torch.from_numpy(to_nchw(x_cond)),
+                torch.from_numpy(to_nchw(qmap)),
+            )
+        our_enc = ours.compress(x_cur, x_cond, qmap)
+        assert ref_enc["strings"][0] == our_enc["strings"][0], "y stream"
+        assert ref_enc["strings"][1] == our_enc["strings"][1], "z stream"
+
+
+class TestCheng2020Attention:
+    """Shared-weight Cheng2020Attention forward parity (waseda.py:99-138);
+    the serial-AR bitstream machinery is pinned by TestCheng2020Anchor."""
+
+    def test_forward_parity(self, compressai):
+        torch.manual_seed(95)
+        ref = compressai.models.Cheng2020Attention(32)
+        ref.eval()
+        ours = jmodels.Cheng2020Attention(32)
+        ours.init(np.zeros((1, 64, 64, 3), np.float32))
+        ours.params = convert_state_dict(
+            torch_state_dict(ref), ours.params, KEY_MAPS["cheng2020-attn"]
+        )
+        rng = np.random.default_rng(97)
+        image = rng.random((1, 64, 64, 3), np.float32).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(to_nchw(image)))
+        our_out = ours.forward(image, train=False)
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["x_hat"].numpy()), np.asarray(our_out["x_hat"]),
+            atol=2e-4,
+        )
+        n = image.shape[1] * image.shape[2]
+        ref_bpp = _bpp(
+            {k: v.numpy() for k, v in ref_out["likelihoods"].items()}, n
+        )
+        assert ref_bpp == pytest.approx(
+            _bpp(our_out["likelihoods"], n), rel=BPP_RTOL
+        )
+
+
 class TestEMLossParity:
     """EMLoss normalization vs the reference recipe (utils.py:8-27 called
     with the *image* target, trainSTEM.py:211 — the ADVICE round-1 finding)."""
