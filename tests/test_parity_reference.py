@@ -357,6 +357,86 @@ class TestSTEMResSerial:
         )
 
 
+class TestSTEMVariantsSerial:
+    """The remaining SPM-bearing STEM variants — WithoutTPM (SPM + hyper,
+    spatiotemporalpriors.py:246-505) and the full SpatioTemporalPriorModel
+    (TPM + hyper + SPM, :508-788) — shared-weight forward parity and
+    byte-identical serial-AR bitstreams, completing the ×5 family."""
+
+    EBC, IC = 64, 48
+
+    def _pair(self, compressai, ref_cls_name, variant, seed):
+        torch.manual_seed(seed)
+        ref = getattr(compressai.models, ref_cls_name)(
+            entropy_bottleneck_channels=self.EBC, in_channels=self.IC
+        )
+        ref.eval()
+        ours = jmodels.SpatioTemporalPriorModel(
+            variant=variant,
+            entropy_bottleneck_channels=self.EBC,
+            in_channels=self.IC,
+            ar_mode="serial",
+        )
+        dummy = np.zeros((1, 8, 8, self.IC), np.float32)
+        ours.init(dummy, dummy)
+        ours.params = convert_state_dict(
+            torch_state_dict(ref), ours.params, KEY_MAPS["stem"]
+        )
+        return ref, ours
+
+    @pytest.mark.parametrize("ref_cls,variant,seed", [
+        ("SpatioTemporalPriorModelWithoutTPM", "without_tpm", 87),
+        ("SpatioTemporalPriorModel", "full", 89),
+    ])
+    def test_forward_and_serial_bitstream_parity(self, compressai, ref_cls,
+                                                 variant, seed):
+        ref, ours = self._pair(compressai, ref_cls, variant, seed)
+        rng = np.random.default_rng(seed)
+        y_cond = rng.normal(0, 1, (1, 8, 8, self.IC)).astype(np.float32)
+        y_cur = (y_cond + rng.normal(0, 0.3, y_cond.shape)).astype(np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(to_nchw(y_cur)),
+                torch.from_numpy(to_nchw(y_cond)),
+            )
+        our_out = ours.forward(y_cur, y_cond, train=False)
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["y_hat"].numpy()), np.asarray(our_out["y_hat"]),
+            atol=1e-4,
+        )
+        n = y_cur.shape[1] * y_cur.shape[2]
+        ref_bpp = _bpp(
+            {k: v.numpy() for k, v in ref_out["likelihoods"].items()}, n
+        )
+        assert ref_bpp == pytest.approx(
+            _bpp(our_out["likelihoods"], n), rel=BPP_RTOL
+        )
+
+        _adopt_ref_tables(ref, ours)
+        with torch.no_grad():
+            ref_enc = ref.compress(
+                torch.from_numpy(to_nchw(y_cur)),
+                torch.from_numpy(to_nchw(y_cond)),
+            )
+        our_enc = ours.compress(y_cur, y_cond)
+        assert ref_enc["strings"][1] == our_enc["strings"][1], "z stream"
+        assert ref_enc["strings"][0] == our_enc["strings"][0], "y AR stream"
+
+        with torch.no_grad():
+            ref_dec = ref.decompress(
+                ref_enc["strings"], ref_enc["shape"],
+                torch.from_numpy(to_nchw(y_cond)),
+            )
+        our_dec = ours.decompress(
+            our_enc["strings"], tuple(our_enc["shape"]), y_cond
+        )
+        ref_y = ref_dec["y_hat"] if isinstance(ref_dec, dict) else ref_dec
+        np.testing.assert_allclose(
+            to_nhwc(ref_y.numpy()), np.asarray(our_dec["y_hat"]), atol=1e-5,
+        )
+
+
 class TestCheng2020Anchor:
     """Shared-weight Cheng2020 anchor: residual/attention converter coverage
     + serial-AR bitstream parity (waseda.py:29-96)."""
