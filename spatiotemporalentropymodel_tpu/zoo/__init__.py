@@ -23,6 +23,13 @@ from ..models import (
 )
 from .convert import KEY_MAPS, convert_state_dict, rename_key
 
+
+def _charm_ctor(**kw):
+    from ..models import SpatioTemporalPriorModelChannelAR
+
+    return SpatioTemporalPriorModelChannelAR(**kw)
+
+
 model_architectures = {
     "bmshj2018-factorized": FactorizedPrior,
     "bmshj2018-hyperprior": ScaleHyperprior,
@@ -61,6 +68,9 @@ stem_models = {
     ),
     "stpm": lambda **kw: SpatioTemporalPriorModel(variant="full", **kw),
     "stpm_res": lambda **kw: SpatioTemporalPriorModel(variant="res", **kw),
+    # beyond-reference: channel-autoregressive STEM (models/charm.py) —
+    # SPM-class conditioning with a fully parallel spatial decode
+    "stpm_charm": _charm_ctor,
 }
 
 # ROI / pixel-domain video family (stem_roi.py class names)

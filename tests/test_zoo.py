@@ -58,6 +58,7 @@ class TestRegistry:
             "stpm_without_tpm",
             "stpm",
             "stpm_res",
+            "stpm_charm",  # beyond-reference channel-AR variant
         }
 
 
