@@ -91,6 +91,7 @@ class StemVideoPipeline:
         self._finish = jax.jit(finish_fn)
         self._finish_sparse = jax.jit(finish_sparse_fn)
         self._decode_full_cache = {}
+        self._gop_forward = None
 
     # -- encoder side ---------------------------------------------------------
 
@@ -340,3 +341,37 @@ class StemVideoPipeline:
     def analysis(self, x):
         """g_a only (I-frame conditioning bootstrap)."""
         return self._analysis(x)
+
+    # -- device-only GOP evaluation -------------------------------------------
+
+    def gop_forward(self, frames, y_cond):
+        """Whole-GOP entropy-estimation forward in ONE dispatch.
+
+        frames: (T, B, H, W, 3). A jitted ``lax.scan`` over frames runs
+        analysis → STEM forward (dequantize quantization) → reconstruction →
+        g_s with the ŷ carry device-resident — the zero-host-boundary serving
+        mode (the temporal loop of stem/evalSTEM.py:93-153 as one XLA
+        program; bench.py's device-only figure measures this shape). Returns
+        (x_hat (T, B, H, W, 3), bpp_est (T, B)) with bpp from likelihoods.
+        """
+        if self._gop_forward is None:
+            stem, i_model = self.stem, self.i_model
+            log2 = float(np.log(2.0))
+
+            def step(y_cond, x):
+                y_cur = i_model._apply(x, method="analysis")[0]
+                out = stem._apply(y_cur, y_cond, train=False)
+                x_hat = i_model._apply(out["y_hat"], method="get_x")
+                n_pix = x.shape[1] * x.shape[2]
+                bpp = sum(
+                    -jnp.sum(jnp.log(lk), axis=(1, 2, 3)) / (log2 * n_pix)
+                    for lk in out["likelihoods"].values()
+                )
+                return out["y_hat"], (x_hat, bpp)
+
+            def fn(frames, y_cond):
+                _, (x_hats, bpps) = jax.lax.scan(step, y_cond, frames)
+                return x_hats, bpps
+
+            self._gop_forward = jax.jit(fn)
+        return self._gop_forward(frames, y_cond)

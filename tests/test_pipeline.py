@@ -169,6 +169,34 @@ def test_gop_carry_consistency(setup):
     assert enc2_again["strings"][1] == encs[1]["strings"][1]
 
 
+def test_gop_forward_matches_per_frame_chain(setup):
+    """One-dispatch lax.scan GOP evaluation must reproduce the per-frame
+    model-API recurrence (analysis → forward(dequantize) → get_x)."""
+    x, imodel, stem = setup
+    pipe = StemVideoPipeline(imodel, stem)
+    y0 = pipe.analysis(x)
+    frames = jnp.stack([x, x * 0.9 + 0.05, x * 1.1 - 0.05])  # (T, B, H, W, 3)
+
+    x_hats, bpps = pipe.gop_forward(frames, y0)
+    assert x_hats.shape == frames.shape and bpps.shape == (3, 1)
+
+    y_cond = y0
+    for t in range(3):
+        y_cur = imodel.get_y(frames[t])[0]
+        out = stem.forward(y_cur, y_cond, train=False)
+        x_ref = imodel.get_x(out["y_hat"])
+        np.testing.assert_allclose(
+            np.asarray(x_hats[t]), np.asarray(x_ref), atol=1e-5
+        )
+        n_pix = frames.shape[2] * frames.shape[3]
+        bpp_ref = sum(
+            float(-np.log2(np.asarray(lk)).sum()) / n_pix
+            for lk in out["likelihoods"].values()
+        )
+        assert float(bpps[t, 0]) == pytest.approx(bpp_ref, rel=1e-4)
+        y_cond = out["y_hat"]
+
+
 def test_pipeline_rejects_spm_variant(setup):
     x, imodel, _ = setup
     spm = SpatioTemporalPriorModel(
