@@ -26,7 +26,7 @@ from spatiotemporalentropymodel_tpu.training import configure_optimizers
 
 SIZE = 128
 BATCH = 8
-STEPS = 400
+STEPS = int(os.environ.get("STEM_DEMO_STEPS", 400))
 
 
 def batch_images(rng: np.random.Generator, n: int) -> np.ndarray:
