@@ -525,13 +525,9 @@ def main():
             _emit(results, extras, to_stdout=False)
     except Exception as e:  # pragma: no cover
         extras["charm_error"] = repr(e)[:200]
-    try:
-        # larger batch amortizes the per-dispatch RPC cost further; last so
-        # its two extra compiles can never crowd out the extras above
-        if left() > 700:
-            results[8] = run_pipeline(8)
-    except Exception as e:  # pragma: no cover
-        extras["b8_error"] = repr(e)[:200]
+    # (batch 8 was probed and RESOURCE_EXHAUSTs this chip at 1080p —
+    # the encode expression's argsort/scatter buffers on top of the
+    # transform activations; batch 4 is the sweet spot.)
 
     _emit(results, extras, to_stdout=True)
 
