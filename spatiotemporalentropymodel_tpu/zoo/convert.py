@@ -395,3 +395,81 @@ KEY_MAPS = {
         }
     ),
 }
+
+
+def main(argv=None):
+    """Checkpoint-converter CLI: torch ``.pth.tar`` → native checkpoint.
+
+    The counterpart of the reference's pretrained loading + update_model
+    re-export (zoo/pretrained.py:16-44, utils/update_model) for this
+    framework's checkpoint format: the output loads through
+    ``training.checkpoints.load_checkpoint(...)["model"]`` →
+    ``model.load_state_dict`` (the codec CLIs' --checkpoint path), with the
+    torch checkpoint's shipped CDF tables adopted verbatim when present
+    (byte-compatible bitstreams).
+
+    Usage:
+      python -m spatiotemporalentropymodel_tpu.zoo.convert IN.pth.tar \
+          -o OUT.ckpt --arch mbt2018-mean --quality 3
+      python -m spatiotemporalentropymodel_tpu.zoo.convert IN.pth.tar \
+          -o OUT.ckpt --video stpm_res --in-channels 192 --ebc 256
+    """
+    import argparse
+    import hashlib
+    from pathlib import Path
+
+    import jax
+
+    from . import (
+        load_torch_checkpoint,
+        load_video_torch_checkpoint,
+        model_architectures,
+        roi_models,
+        stem_models,
+    )
+    from ..training.checkpoints import save_checkpoint
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("checkpoint", help="torch .pth.tar input")
+    parser.add_argument("-o", "--output", required=True)
+    group = parser.add_mutually_exclusive_group(required=True)
+    group.add_argument("--arch", choices=sorted(model_architectures))
+    group.add_argument("--video",
+                       choices=sorted(list(stem_models) + list(roi_models)))
+    parser.add_argument("--quality", type=int, default=1,
+                        help="zoo quality index (image archs)")
+    parser.add_argument("--in-channels", type=int, default=192)
+    parser.add_argument("--ebc", type=int, default=256,
+                        help="entropy bottleneck channels (video archs)")
+    args = parser.parse_args(argv)
+
+    if args.video:
+        kwargs = {"in_channels": args.in_channels,
+                  "entropy_bottleneck_channels": args.ebc}
+        if args.video == "stpm_charm":
+            raise SystemExit(
+                "stpm_charm is a beyond-reference architecture with no "
+                "torch counterpart to convert from"
+            )
+        model = load_video_torch_checkpoint(args.video, args.checkpoint,
+                                            **kwargs)
+        name = args.video
+    else:
+        model = load_torch_checkpoint(args.arch, args.checkpoint,
+                                      quality=args.quality)
+        name = f"{args.arch} q{args.quality}"
+
+    save_checkpoint({"model": model.state_dict()}, args.output)
+    blob = Path(args.output).read_bytes()
+    sha = hashlib.sha256(blob).hexdigest()[:8]
+    n_params = sum(
+        int(np.prod(np.shape(v)))
+        for v in jax.tree_util.tree_leaves(model.params)
+    )
+    print(f"{name}: {n_params:,} params, tables "
+          f"{sorted(model.tables)} -> {args.output} "
+          f"({len(blob):,} bytes, sha256 {sha})")
+
+
+if __name__ == "__main__":
+    main()
