@@ -375,3 +375,20 @@ class StemVideoPipeline:
 
             self._gop_forward = jax.jit(fn)
         return self._gop_forward(frames, y_cond)
+
+    def gop_forward_sharded(self, frames, y_cond, mesh,
+                            axis_name: str = "data"):
+        """``gop_forward`` batch-sharded over a device mesh.
+
+        frames (T, B, H, W, 3) are sharded on B across ``mesh``'s data axis
+        and the carry likewise; parameters replicate and GSPMD partitions the
+        same one-dispatch scan — evaluation scales over ICI with zero code
+        change to the program (SURVEY.md §2.7's serving analog of the
+        data-parallel train step)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        frames = jax.device_put(
+            frames, NamedSharding(mesh, P(None, axis_name))
+        )
+        y_cond = jax.device_put(y_cond, NamedSharding(mesh, P(axis_name)))
+        return self.gop_forward(frames, y_cond)

@@ -105,3 +105,42 @@ def test_graft_entry_dryrun():
     assert "y_hat" in out and "likelihoods" in out
 
     ge.dryrun_multichip(8)
+
+
+class TestShardedGopForward:
+    def test_matches_single_device(self):
+        """Batch-sharded gop_forward over the 8-device mesh must equal the
+        unsharded computation (serving analog of the DP train step)."""
+        from spatiotemporalentropymodel_tpu.eval.pipeline import (
+            StemVideoPipeline,
+        )
+        from spatiotemporalentropymodel_tpu.models import (
+            MeanScaleHyperprior,
+            SpatioTemporalPriorModel,
+        )
+
+        M = 8
+        x = jax.random.uniform(jax.random.PRNGKey(0), (8, 64, 64, 3))
+        imodel = MeanScaleHyperprior(8, M)
+        imodel.init(x[:1])
+        stem = SpatioTemporalPriorModel(
+            variant="without_spm", entropy_bottleneck_channels=8,
+            in_channels=M,
+        )
+        d = jnp.zeros((1, 4, 4, M))
+        stem.init(d, d)
+        stem.update()
+        pipe = StemVideoPipeline(imodel, stem)
+
+        frames = jnp.stack([x, x * 0.95 + 0.02])  # (T=2, B=8, H, W, 3)
+        y0 = pipe.analysis(x)
+        ref_x, ref_bpp = pipe.gop_forward(frames, y0)
+
+        mesh = make_mesh(8)
+        sh_x, sh_bpp = pipe.gop_forward_sharded(frames, y0, mesh)
+        np.testing.assert_allclose(
+            np.asarray(sh_x), np.asarray(ref_x), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh_bpp), np.asarray(ref_bpp), rtol=1e-5
+        )
