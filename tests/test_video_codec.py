@@ -32,6 +32,41 @@ def _models():
     return i_model, stem
 
 
+def test_stemv_dense_fallback_records(tmp_path):
+    """Unscaled (random-init) models overflow int8 → P-frames serialize as
+    dense records (ftype 2) and must still decode with a drift-free carry."""
+    x = jnp.zeros((1, 64, 64, 3))
+    i_model = MeanScaleHyperprior(8, M)
+    i_model.init(x)
+    i_model.update()
+    stem = SpatioTemporalPriorModel(
+        variant="without_spm", entropy_bottleneck_channels=16, in_channels=M
+    )
+    d = jnp.zeros((1, 4, 4, M))
+    stem.init(d, d)
+    stem.update()
+
+    rng = np.random.default_rng(3)
+    frames = [rng.random((64, 64, 3)).astype(np.float32) for _ in range(3)]
+    out = tmp_path / "dense.stemv"
+    encode_video(frames, i_model, stem, out, gop=3)
+
+    import struct
+
+    from spatiotemporalentropymodel_tpu.eval.video_codec import _read_frame
+
+    with out.open("rb") as f:
+        f.read(6)
+        f.read(12)
+        types = [_read_frame(f)[0] for _ in range(3)]
+    assert types[0] == 0 and all(t == 2 for t in types[1:])
+
+    decoded = decode_video(out, i_model, stem)
+    assert len(decoded) == 3
+    for fr in decoded:
+        assert np.isfinite(fr).all()
+
+
 def test_stemv_roundtrip(tmp_path):
     """encode → .stemv file → decode must reproduce the in-memory pipeline's
     reconstructions exactly (streams, counts and the GOP carry all survive
