@@ -437,6 +437,60 @@ class TestSTEMVariantsSerial:
         )
 
 
+class TestJointAutoregressive:
+    """Shared-weight mbt2018 (priors.py:406-694): forward parity and
+    byte-identical serial-AR bitstreams for the image AR codec itself
+    (Cheng2020 subclasses it; this pins the base arch's own zoo row)."""
+
+    N, M = 32, 48
+
+    def test_forward_and_serial_bitstream_parity(self, compressai):
+        torch.manual_seed(99)
+        ref = compressai.models.JointAutoregressiveHierarchicalPriors(
+            self.N, self.M
+        )
+        ref.eval()
+        ours = jmodels.JointAutoregressiveHierarchicalPriors(
+            self.N, self.M, ar_mode="serial"
+        )
+        ours.init(np.zeros((1, 64, 64, 3), np.float32))
+        ours.params = convert_state_dict(
+            torch_state_dict(ref), ours.params, KEY_MAPS["mbt2018"]
+        )
+        rng = np.random.default_rng(101)
+        image = rng.random((1, 64, 64, 3), np.float32).astype(np.float32)
+
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(to_nchw(image)))
+        our_out = ours.forward(image, train=False)
+        np.testing.assert_allclose(
+            to_nhwc(ref_out["x_hat"].numpy()), np.asarray(our_out["x_hat"]),
+            atol=2e-4,
+        )
+        n = image.shape[1] * image.shape[2]
+        ref_bpp = _bpp(
+            {k: v.numpy() for k, v in ref_out["likelihoods"].items()}, n
+        )
+        assert ref_bpp == pytest.approx(
+            _bpp(our_out["likelihoods"], n), rel=BPP_RTOL
+        )
+
+        _adopt_ref_tables(ref, ours)
+        with torch.no_grad():
+            ref_enc = ref.compress(torch.from_numpy(to_nchw(image)))
+        our_enc = ours.compress(image)
+        assert ref_enc["strings"][1] == our_enc["strings"][1], "z stream"
+        assert ref_enc["strings"][0] == our_enc["strings"][0], "y AR stream"
+
+        with torch.no_grad():
+            ref_dec = ref.decompress(ref_enc["strings"], ref_enc["shape"])
+        our_dec = ours.decompress(our_enc["strings"], tuple(our_enc["shape"]))
+        np.testing.assert_allclose(
+            to_nhwc(ref_dec["x_hat"].numpy()), np.asarray(our_dec["x_hat"]),
+            atol=2e-4,
+        )
+
+
 class TestCheng2020Anchor:
     """Shared-weight Cheng2020 anchor: residual/attention converter coverage
     + serial-AR bitstream parity (waseda.py:29-96)."""
