@@ -45,7 +45,7 @@ M, EBC = 192, 256
 PCIE_GBPS = 16.0  # gen4 x16 effective
 
 
-def realistic_stem(variant="without_spm", rng_seed=7):
+def realistic_stem(variant="without_spm", rng_seed=7, **model_kw):
     """STEM whose entropy head emits converged-model scale statistics.
 
     The EPM's last conv is shrunk so its output ≈ bias, and the bias is set
@@ -56,7 +56,8 @@ def realistic_stem(variant="without_spm", rng_seed=7):
     an untrained prior degenerates to.
     """
     stem = SpatioTemporalPriorModel(
-        variant=variant, entropy_bottleneck_channels=EBC, in_channels=M
+        variant=variant, entropy_bottleneck_channels=EBC, in_channels=M,
+        **model_kw,
     )
     d = jnp.zeros((1, 64 // 16, 64 // 16, M))
     stem.init(d, d)
@@ -326,10 +327,12 @@ def run_device_only(batch: int, frames: int = 8, dtype=None) -> dict:
     return res
 
 
-def run_wavefront(budget_left) -> dict:
+def run_wavefront(budget_left, tile=None) -> dict:
     """Flagship SpatioTemporalPriorModel_Res (README.md:115): wavefront AR
-    codec at 1080p — honest single-frame number through this tunnel."""
-    stem = realistic_stem(variant="res")
+    codec at 1080p — honest single-frame number through this tunnel.
+    tile=(th, tw) measures the tiled fast format (context resets at tile
+    borders; all tiles decode in the same round)."""
+    stem = realistic_stem(variant="res", wavefront_tile=tile)
     y_shape = (1, H // 16, W // 16, M)
     y_cond = 0.5 * jax.random.normal(jax.random.PRNGKey(5), y_shape)
     sigma = 0.2
@@ -351,7 +354,8 @@ def run_wavefront(budget_left) -> dict:
     # wavefront decode = one (params dispatch + host rANS + sync) per
     # anti-diagonal; through this tunnel each round pays ~2 RPCs. Project a
     # PCIe host by removing the measured tunnel latency per round.
-    n_rounds = 3 * (H // 16 - 1) + W // 16  # ar_wavefront.wavefront_tables
+    th, tw = tile if tile else (H // 16, W // 16)
+    n_rounds = 3 * (th - 1) + tw  # ar_wavefront.wavefront_tables
     per_round_ms = 1e3 * dec_t / n_rounds
     rpc_ms = 35.0
     intrinsic_ms = max(per_round_ms - 2 * rpc_ms, 0.5)
@@ -524,6 +528,15 @@ def main():
     except Exception as e:  # pragma: no cover
         extras["res_wavefront_error"] = repr(e)[:200]
     try:
+        # tiled fast format: 78 rounds instead of 321 (17×30 tiles)
+        if left() > 650:
+            extras["res_wavefront_tiled_1080p"] = run_wavefront(
+                left(), tile=(17, 30)
+            )
+            _emit(results, extras, to_stdout=False)
+    except Exception as e:  # pragma: no cover
+        extras["res_wavefront_tiled_error"] = repr(e)[:200]
+    try:
         if left() > 500:
             extras["charm_1080p"] = run_charm()
             _emit(results, extras, to_stdout=False)
@@ -566,10 +579,10 @@ def _emit(results, extras, to_stdout: bool):
                 extras["host_coder_standalone"],
             )
     for k in ("host_coder_standalone", "device_only_b4_bf16",
-              "res_wavefront_1080p", "charm_1080p",
-              "host_coder_error", "device_only_error",
-              "device_only_bf16_error", "res_wavefront_error", "charm_error",
-              "b8_error"):
+              "res_wavefront_1080p", "res_wavefront_tiled_1080p",
+              "charm_1080p", "host_coder_error", "device_only_error",
+              "device_only_bf16_error", "res_wavefront_error",
+              "res_wavefront_tiled_error", "charm_error"):
         if k in extras:
             detail[k] = extras[k]
 

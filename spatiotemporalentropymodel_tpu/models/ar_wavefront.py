@@ -171,3 +171,45 @@ def flatten_wavefront(planes, coords, valid):
     hh = coords[..., 0][valid]
     ww = coords[..., 1][valid]
     return planes[:, hh, ww, :].reshape(planes.shape[0], -1)
+
+
+# ---- tiled wavefront (video-codec slices/tiles idea) ------------------------
+#
+# Tiling the latent into th×tw blocks resets the masked-conv context at tile
+# borders, making every tile's wavefront independent: all tiles advance in
+# the SAME round, so decode needs 3(th−1)+tw host rounds instead of
+# 3(H−1)+W (78 vs 321 at 1080p with 17×30 tiles). Implemented by folding
+# tiles into the batch axis and reusing the untiled machinery verbatim.
+
+
+def tile_plane(x, th: int, tw: int):
+    """(B, H, W, M) → (B·nt, th, tw, M), tiles raster-ordered per element."""
+    b, h, w, m = x.shape
+    x = jnp.reshape(x, (b, h // th, th, w // tw, tw, m))
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return jnp.reshape(x, (b * (h // th) * (w // tw), th, tw, m))
+
+
+def untile_plane(x, b: int, h: int, w: int):
+    """Inverse of tile_plane."""
+    _, th, tw, m = x.shape
+    x = jnp.reshape(x, (b, h // th, w // tw, th, tw, m))
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return jnp.reshape(x, (b, h, w, m))
+
+
+def flatten_wavefront_grouped(planes, coords, valid, b: int):
+    """(b·nt, th, tw, M) tile-batch planes → (b, nt·N·M) in ROUND-major
+    (wavefront, tile, lane, channel) order — the wire order a per-round
+    decoder consumes. Equals flatten_wavefront when nt == 1."""
+    planes = np.asarray(planes)
+    coords = np.asarray(coords)
+    valid = np.asarray(valid)
+    chunks = []
+    for t in range(coords.shape[0]):
+        v = valid[t]
+        if not v.any():
+            continue
+        sel = planes[:, coords[t, v, 0], coords[t, v, 1], :]  # (b·nt, L_t, M)
+        chunks.append(sel.reshape(b, -1))
+    return np.concatenate(chunks, axis=1)

@@ -128,6 +128,58 @@ class TestCodec:
         len_s = len(enc_s["strings"][0][0])
         assert abs(len_wf - len_s) <= max(16, 0.02 * len_s)
 
+    @pytest.mark.slow
+    def test_wavefront_tiled_roundtrip(self):
+        """Tiled wavefront (video-codec slices idea): decode through the real
+        bitstream must reproduce the encoder's own tile-batch scan exactly,
+        with 3(th−1)+tw rounds instead of 3(H−1)+W."""
+        m = SpatioTemporalPriorModel(
+            variant="res", entropy_bottleneck_channels=EBC, in_channels=M,
+            ar_mode="wavefront", wavefront_tile=(4, 4),
+        )
+        y_cur, y_cond = _latents(hw=8)
+        m.init(y_cur, y_cond)
+        m.update()
+
+        enc = m.compress(y_cur, y_cond)
+        assert m.compress(y_cur, y_cond)["strings"][0] == enc["strings"][0]
+        dec = m.decompress(enc["strings"], enc["shape"], y_cond)
+
+        # oracle: the encoder's own scan over the decoder's ẑ-derived priors
+        from spatiotemporalentropymodel_tpu.entropy import base as eb
+        from spatiotemporalentropymodel_tpu.models import ar_wavefront as wf
+
+        zt = m.tables["entropy_bottleneck"]
+        z_idx = eb.bottleneck_indexes(
+            (1, *enc["shape"], zt.rows), zt.rows
+        )
+        z_sym = eb.decompress(enc["strings"][1], z_idx, zt, m.coder)
+        z_hat = jnp.asarray(z_sym, jnp.float32) + jnp.asarray(
+            zt.medians, jnp.float32
+        )
+        priors = m._prior_feats_fn()(z_hat, y_cond)
+        coords, valid, encoder, *_ = m._wavefront_setup(4, 4)
+        target = jnp.asarray(y_cur) - jnp.asarray(y_cond)
+        _, _, tpad = encoder(
+            wf.tile_plane(target, 4, 4), wf.tile_plane(priors, 4, 4),
+            coords, valid,
+        )
+        expected = wf.untile_plane(tpad, 1, 8, 8) + jnp.asarray(y_cond)
+        np.testing.assert_allclose(
+            np.asarray(dec["y_hat"]), np.asarray(expected), atol=1e-5
+        )
+
+    def test_wavefront_tile_must_divide(self):
+        m = SpatioTemporalPriorModel(
+            variant="res", entropy_bottleneck_channels=EBC, in_channels=M,
+            wavefront_tile=(3, 3),
+        )
+        y_cur, y_cond = _latents(hw=8)
+        m.init(y_cur, y_cond)
+        m.update()
+        with pytest.raises(ValueError, match="divisible"):
+            m.compress(y_cur, y_cond)
+
     def test_wavefront_tables_dependencies(self):
         """No pixel may share a wavefront with one of its mask-A deps."""
         from spatiotemporalentropymodel_tpu.models.ar_wavefront import (
