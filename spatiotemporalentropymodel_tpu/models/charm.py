@@ -37,12 +37,22 @@ class _LeakyReLU(nn.Module):
 
 
 class ChannelARSTEMModule(nn.Module):
-    """STEM with TPM + hyper priors and G-group channel autoregression."""
+    """STEM with TPM + hyper priors and G-group channel autoregression.
+
+    ``lrp=True`` adds latent residual prediction (Minnen & Singh 2020,
+    arXiv:2007.08739 §III-B): after group g decodes, a small 1×1 stack
+    predicts its quantization residual from the priors, the decoded earlier
+    groups and the group's own quantized values; the bounded refinement
+    (0.5·tanh, at most half a bin) sharpens both the reconstruction and the
+    context later groups condition on. Decoder-replicable by construction —
+    it reads only decoded information.
+    """
 
     groups: int = 4
     entropy_bottleneck_channels: int = 256
     in_channels: int = 192
     residual: bool = True
+    lrp: bool = True
 
     def setup(self):
         m, ebc = self.in_channels, self.entropy_bottleneck_channels
@@ -72,6 +82,15 @@ class ChannelARSTEMModule(nn.Module):
             )
             for g in range(self.groups)
         ]
+        if self.lrp:
+            self.LRPs = [
+                Sequential(
+                    [Conv(224, 1, 1), _LeakyReLU(), Conv(128, 1, 1),
+                     _LeakyReLU(), Conv(gs, 1, 1)],
+                    name=f"LRP_{g}",
+                )
+                for g in range(self.groups)
+            ]
         self.entropy_bottleneck = EntropyBottleneck(ebc)
         self.gaussian_conditional = GaussianConditional()
 
@@ -98,6 +117,16 @@ class ChannelARSTEMModule(nn.Module):
         gp = self.EPMs[g](feats)
         return jnp.split(gp, 2, axis=-1)
 
+    def lrp_refine(self, priors, ctx, y_hat_g, g: int, train: bool = False):
+        """Bounded quantization-residual refinement for decoded group g
+        (no-op when the module was built with lrp=False)."""
+        del train
+        if not self.lrp:
+            return y_hat_g
+        parts = [priors, ctx, y_hat_g] if ctx.shape[-1] else [priors, y_hat_g]
+        feats = jnp.concatenate(parts, axis=-1)
+        return y_hat_g + 0.5 * jnp.tanh(self.LRPs[g](feats))
+
     def __call__(self, y_cur, y_conditioned, train: bool = False):
         z = self.hyper_encode(y_cur, y_conditioned)
         z_hat, z_lik = self.entropy_bottleneck(z, train=train)
@@ -110,16 +139,26 @@ class ChannelARSTEMModule(nn.Module):
             target_hat = quantize_dequantize(target)
 
         gs = self.group_size
-        liks = []
+        liks, decoded = [], []
         for g in range(self.groups):
-            ctx = target_hat[..., : g * gs]
+            ctx = (
+                jnp.concatenate(decoded, axis=-1)
+                if decoded
+                else target_hat[..., :0]
+            )
             scales, means = self.group_params(priors, ctx, g)
             _, lik_g = self.gaussian_conditional(
                 target[..., g * gs : (g + 1) * gs], scales, means, train=train
             )
             liks.append(lik_g)
+            decoded.append(
+                self.lrp_refine(
+                    priors, ctx, target_hat[..., g * gs : (g + 1) * gs], g
+                )
+            )
         y_lik = jnp.concatenate(liks, axis=-1)
-        y_hat = target_hat + y_conditioned if self.residual else target_hat
+        target_out = jnp.concatenate(decoded, axis=-1)
+        y_hat = target_out + y_conditioned if self.residual else target_out
         return {
             "y_hat": y_hat,
             "likelihoods": {"y": y_lik, "z": z_lik},
@@ -140,10 +179,11 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
     _I16_LIM = 32767.0
 
     def __init__(self, groups: int = 4, entropy_bottleneck_channels: int = 256,
-                 in_channels: int = 192, residual: bool = True, **kw):
+                 in_channels: int = 192, residual: bool = True,
+                 lrp: bool = True, **kw):
         super().__init__(
             ChannelARSTEMModule(groups, entropy_bottleneck_channels,
-                                in_channels, residual),
+                                in_channels, residual, lrp),
             **kw,
         )
         self.groups = groups
@@ -178,7 +218,10 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
                 sym = jnp.clip(jnp.round(t_g - means), -lim, lim).astype(
                     jnp.int16
                 )
-                decoded.append(sym.astype(jnp.float32) + means)
+                decoded.append(self._apply(
+                    priors, ctx, sym.astype(jnp.float32) + means, g,
+                    method="lrp_refine",
+                ))
                 syms.append(sym)
                 idxs.append(build_indexes(scales, table).astype(jnp.uint8))
             y_sym = jnp.concatenate(syms, axis=-1)
@@ -223,10 +266,11 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
                                             method="group_params")
                 t_g = target[..., g * gs : (g + 1) * gs]
                 sym = jnp.round(t_g - means)
-                decoded.append(
-                    jnp.clip(sym, -self._I16_LIM, self._I16_LIM)
-                    + means
-                )
+                decoded.append(self._apply(
+                    priors, ctx,
+                    jnp.clip(sym, -self._I16_LIM, self._I16_LIM) + means, g,
+                    method="lrp_refine",
+                ))
                 syms.append(sym)
                 idxs.append(build_indexes(scales, table).astype(jnp.int32))
             y_sym = jnp.concatenate(syms, axis=-1)
@@ -388,6 +432,20 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
         key = "group_params_fns"
         if key not in self._jit_cache:
             self._jit_cache[key] = [jax.jit(make(g)) for g in range(self.groups)]
+        return self._jit_cache[key]
+
+    def _group_lrp_fn(self):
+        def make(g):
+            def fn(priors, ctx, y_hat_g):
+                return self._apply(priors, ctx, y_hat_g, g,
+                                   method="lrp_refine")
+
+            return fn
+
+        key = "group_lrp_fns"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = [jax.jit(make(g))
+                                    for g in range(self.groups)]
         return self._jit_cache[key]
 
     # -- sparse group transport (entropy/transport.py design, per group) -----
@@ -559,9 +617,12 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
                     .at[jnp.arange(b)[:, None], order]
                     .set(y_sorted.astype(jnp.int32))
                 )
-                decoded.append(
+                y_hat_g = (
                     flat.reshape(b, h, w, gs).astype(jnp.float32) + means
                 )
+                decoded.append(self._apply(
+                    priors, ctx, y_hat_g, g, method="lrp_refine"
+                ))
             return jnp.concatenate(decoded, axis=-1)
 
         self._jit_cache[key] = jax.jit(fn)
@@ -597,6 +658,7 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
 
     def _decode_groups_dense(self, y_strings, priors, b, h, w, gs, gt):
         params_fns = self._group_params_fn()
+        lrp_fns = self._group_lrp_fn()
         decoded = []
         for g in range(self.groups):
             ctx = (
@@ -613,9 +675,10 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
                 ).reshape(h, w, gs)
                 for i in range(b)
             ])
-            decoded.append(
-                jnp.asarray(sym.astype(np.int16), jnp.float32) + means
-            )
+            decoded.append(lrp_fns[g](
+                priors, ctx,
+                jnp.asarray(sym.astype(np.int16), jnp.float32) + means,
+            ))
         return decoded
 
     def _decode_groups_sparse(self, y_strings, priors, b, h, w):
@@ -625,6 +688,7 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
 
         gt = self.tables["gaussian_conditional"]
         params_fns = self._group_params_sparse_fn()
+        lrp_fns = self._group_lrp_fn()
         reconstruct = self._group_reconstruct_sparse_fn()
         decoded = []
         for g in range(self.groups):
@@ -646,9 +710,10 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
             cap = max(n_g // 4, -(-max(nz_max, 1) // 4096) * 4096)
             cap = min(cap, n_g)
             maskbits, values = transport.pack_decode_payload(y_sorted, cap)
-            decoded.append(
+            decoded.append(lrp_fns[g](
+                priors, ctx,
                 reconstruct(
                     jnp.asarray(maskbits), jnp.asarray(values), order, means
-                )
-            )
+                ),
+            ))
         return decoded

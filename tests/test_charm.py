@@ -43,7 +43,8 @@ class TestForward:
         y_cur, y_cond = _latents()
         out = model.forward(y_cur, y_cond, train=True)
         d = np.asarray(out["y_hat"]) - np.asarray(y_cur)
-        assert np.all(np.abs(d) <= 0.5 + 1e-5)
+        # U(-1/2, 1/2) noise plus the LRP refinement bound (0.5*tanh)
+        assert np.all(np.abs(d) <= 1.0 + 1e-5)
 
     def test_channel_context_matters(self, model):
         """Perturbing an EARLY group's input must change LATER groups'
@@ -83,6 +84,7 @@ class TestCodec:
         )
         priors = model._priors_fn()(jnp.asarray(z_sym), y_cond)
         gs = m // G
+        lrp_fns = model._group_lrp_fn()
         decoded = []
         for g, fn in enumerate(model._group_params_fn()):
             ctx = (
@@ -91,10 +93,11 @@ class TestCodec:
                 else jnp.zeros((b, h, w, 0), jnp.float32)
             )
             means, _ = fn(priors, ctx)
-            decoded.append(
-                jnp.asarray(y_sym[..., g * gs : (g + 1) * gs].astype(np.int16),
-                            jnp.float32) + means
-            )
+            y_hat_g = jnp.asarray(
+                y_sym[..., g * gs : (g + 1) * gs].astype(np.int16),
+                jnp.float32,
+            ) + means
+            decoded.append(lrp_fns[g](priors, ctx, y_hat_g))
         expected = np.asarray(jnp.concatenate(decoded, axis=-1)) + np.asarray(
             y_cond
         )
@@ -142,3 +145,46 @@ class TestCodec:
         np.testing.assert_array_equal(
             np.asarray(dec_f["y_hat"]), np.asarray(dec_s["y_hat"])
         )
+
+
+class TestLRP:
+    def test_refinement_bounded_and_live(self, model):
+        """LRP must move the reconstruction (the nets are live) but never by
+        more than half a quantization bin, and stay codec-consistent."""
+        y_cur, y_cond = _latents(seed=9)
+        base = SpatioTemporalPriorModelChannelAR(
+            groups=G, entropy_bottleneck_channels=EBC, in_channels=M,
+            lrp=False,
+        )
+        base.init(y_cur, y_cond)
+        # share every non-LRP parameter with the lrp=True module
+        base.params = {k: model.params[k] for k in base.params}
+        base.update()
+
+        enc = model.compress(y_cur, y_cond)
+        dec = model.decompress(enc["strings"], enc["shape"], y_cond,
+                               transport_mode=enc["transport"])
+        enc_b = base.compress(y_cur, y_cond)
+        dec_b = base.decompress(enc_b["strings"], enc_b["shape"], y_cond,
+                                transport_mode=enc_b["transport"])
+
+        # group 0 codes identically (its ctx is empty, LRP applies after
+        # coding), so the first group's streams agree
+        d = np.asarray(dec["y_hat"]) - np.asarray(dec_b["y_hat"])
+        gs = M // G
+        assert np.abs(d[..., :gs]).max() <= 0.5 + 1e-5
+        assert np.abs(d[..., :gs]).max() > 0  # refinement is live
+
+    def test_lrp_off_module_has_no_lrp_params(self):
+        m = SpatioTemporalPriorModelChannelAR(
+            groups=G, entropy_bottleneck_channels=EBC, in_channels=M,
+            lrp=False,
+        )
+        y_cur, y_cond = _latents()
+        m.init(y_cur, y_cond)
+        assert not any(k.startswith("LRP") for k in m.params)
+        m.update()
+        enc = m.compress(y_cur, y_cond)
+        dec = m.decompress(enc["strings"], enc["shape"], y_cond,
+                           transport_mode=enc["transport"])
+        assert np.isfinite(np.asarray(dec["y_hat"])).all()
