@@ -8,8 +8,9 @@ crosses the link), and pack decoded symbols back into (bitmask + compacted
 int8 values) for upload.
 
 Replaces the reference's per-tensor ``.tolist()`` boundary
-(entropy_models.py:201-233) with, per 1080p frame: ~0.6 MB down on encode and
-~0.35 MB up + 256 B down on decode, vs ~10 MB dense.
+(entropy_models.py:201-233) with, per 1080p frame: ~0.5 MB down on encode and
+~0.5 MB up on decode (zero fetches — the container carries the row counts),
+vs ~10 MB dense.
 """
 
 from dataclasses import dataclass

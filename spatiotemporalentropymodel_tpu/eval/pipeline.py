@@ -196,24 +196,26 @@ class StemVideoPipeline:
             return
 
         with ThreadPoolExecutor(1) as fetcher:
-            pending = None  # (future_buf, y_cur, y_hat)
+            pending = None  # (future_buf, y_cur, x, y_cond_before)
             for x in frames:
+                y_cond_before = y_cond
                 y_cur, y_hat, packed = self._encode_sparse(x, y_cond)
                 y_cond = y_hat  # device-resident carry
                 fut = fetcher.submit(np.asarray, packed)
                 if pending is not None:
                     yield self._finish_encode(*pending)
-                pending = (fut, y_cur)
+                pending = (fut, y_cur, x, y_cond_before)
             if pending is not None:
                 yield self._finish_encode(*pending)
 
-    def _finish_encode(self, fut, y_cur):
+    def _finish_encode(self, fut, y_cur, x, y_cond_before):
         enc = self.code_sparse_buffer(fut.result(), y_cur.shape)
-        if enc is None:  # overflow → re-encode this frame densely
-            raise RuntimeError(
-                "sparse transport overflow inside encode_frames; re-encode "
-                "the GOP with transport_mode='dense'"
-            )
+        if enc is None:
+            # int8 overflow → re-encode this frame densely. The sparse carry
+            # clips at the dense int16 band (fused_encode_sparse_carry_expr),
+            # so frames already dispatched against it stay decodable.
+            _, packed = self._encode(x, y_cond_before)
+            enc = self._code_dense_buffer(np.asarray(packed), y_cur.shape)
         return enc
 
     def decode_frames(self, encs, y_cond):

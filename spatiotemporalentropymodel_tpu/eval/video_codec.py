@@ -8,9 +8,12 @@ the image codec and P-frames through the streaming sparse-transport pipeline
 (eval/pipeline.py), whose containers carry the CDF-row counts so file decode
 is fetch-free.
 
-Container format v1 (big-endian, mirroring codec.py's conventions):
+Container format v2 (big-endian, mirroring codec.py's conventions):
 
   magic  b"STMV", u8 version
+  u8 i_model_id, u8 i_quality, u8 stem_variant_id, u16 stem_channels
+                      (decode rebuilds the exact model pair — same idea as
+                       the image codec's 2-byte header, codec.py:92-117)
   u8 gop, u32 n_frames, u32 h, u32 w          (original size, pre-×64-pad)
   per frame:
     u8 ftype            0 = I, 1 = P sparse, 2 = P dense (int8 overflow)
@@ -37,7 +40,29 @@ from ..ops.padding import pad_centered
 from .codec import _load_image, _read_uints, _write_uints
 
 MAGIC = b"STMV"
-VERSION = 1
+VERSION = 2
+UNSPECIFIED = 0xFF  # model ids for API users who pass models directly
+
+# pipeline-compatible (non-SPM) STEM variants
+STEM_VARIANT_IDS = {"without_spm_tpm": 0, "without_spm": 1}
+
+
+def read_header(f):
+    """Validate magic/version and return the header dict (file position is
+    left at the first frame record)."""
+    magic = f.read(4)
+    if magic != MAGIC:
+        raise ValueError(f"not a .stemv container (magic {magic!r})")
+    (version,) = struct.unpack(">B", f.read(1))
+    if version != VERSION:
+        raise ValueError(f"unsupported .stemv version {version}")
+    i_id, i_q, sv_id, s_ch = struct.unpack(">3BH", f.read(5))
+    gop, n_frames, h, w = struct.unpack(">B3I", f.read(13))
+    return {
+        "i_model_id": i_id, "i_quality": i_q, "stem_variant_id": sv_id,
+        "stem_channels": s_ch, "gop": gop, "n_frames": n_frames,
+        "h": h, "w": w,
+    }
 
 
 def _write_frame(f, ftype, shape, strings, counts=None):
@@ -68,12 +93,16 @@ def _read_frame(f):
 
 
 def encode_video(frames, i_model, stem, output, gop: int = 12,
-                 pipeline=None) -> dict:
+                 pipeline=None, meta=None) -> dict:
     """frames: iterable of (H, W, 3) float arrays in [0, 1] (all same size).
 
     The conditioning carry is the decoder-consistent ŷ throughout — on the
     rare int8-overflow dense fallback the encoder replicates the decoder to
-    re-derive it (evalSTEM.py:144-153 carries out_dec['y_hat'])."""
+    re-derive it (evalSTEM.py:144-153 carries out_dec['y_hat']).
+
+    meta: optional {"i_model", "i_quality", "stem_variant", "stem_channels"}
+    recorded in the header so the decode CLI can rebuild the exact model
+    pair; API callers who pass models directly may omit it."""
     from .pipeline import StemVideoPipeline
 
     if not 1 <= gop <= 255:
@@ -118,10 +147,18 @@ def encode_video(frames, i_model, stem, output, gop: int = 12,
                 body.append((2, tuple(enc["shape"]), None, enc["strings"]))
         n_frames += 1
 
+    from .codec import model_ids
+
+    meta = meta or {}
+    i_id = model_ids.get(meta.get("i_model"), UNSPECIFIED)
+    sv_id = STEM_VARIANT_IDS.get(meta.get("stem_variant"), UNSPECIFIED)
     with Path(output).open("wb") as f:
         f.write(MAGIC + struct.pack(">B", VERSION))
-        f.write(struct.pack(">B", gop))
-        _write_uints(f, (n_frames, h, w))
+        f.write(struct.pack(
+            ">3BH", i_id, int(meta.get("i_quality", 0)) & 0xFF, sv_id,
+            int(meta.get("stem_channels", 0)) & 0xFFFF,
+        ))
+        f.write(struct.pack(">B3I", gop, n_frames, h, w))
         for ftype, shape, counts, strings in body:
             _write_frame(f, ftype, shape, strings, counts)
 
@@ -141,14 +178,9 @@ def decode_video(input_path, i_model, stem, output_dir=None, pipeline=None):
                                          transport_mode="sparse")
     t0 = time.time()
     with Path(input_path).open("rb") as f:
-        magic = f.read(4)
-        if magic != MAGIC:
-            raise ValueError(f"not a .stemv container (magic {magic!r})")
-        (version,) = struct.unpack(">B", f.read(1))
-        if version != VERSION:
-            raise ValueError(f"unsupported .stemv version {version}")
-        (gop,) = struct.unpack(">B", f.read(1))
-        n_frames, h, w = _read_uints(f, 3)
+        hdr = read_header(f)
+        gop, n_frames = hdr["gop"], hdr["n_frames"]
+        h, w = hdr["h"], hdr["w"]
         records = [_read_frame(f) for _ in range(n_frames)]
 
     frames = []
@@ -258,12 +290,29 @@ def main(argv=None):
         frames = _load_frames(args.frames_dir)
         hw = pad_centered(jnp.zeros((1, *frames[0].shape[:2], 3)), 64)[0].shape[1:3]
         i_model, stem = _build_models(args, tuple(hw))
-        encode_video(frames, i_model, stem, args.output, gop=args.gop)
+        encode_video(frames, i_model, stem, args.output, gop=args.gop,
+                     meta={"i_model": args.i_model,
+                           "i_quality": args.i_quality,
+                           "stem_variant": args.stem_variant,
+                           "stem_channels": args.stem_channels})
     else:
+        # validate magic/version and adopt the recorded model configuration
+        # BEFORE building anything (codec.py:104's precedent)
+        from .codec import _inverse, model_ids
+
         with Path(args.input).open("rb") as f:
-            f.read(6)
-            _, h, w = _read_uints(f, 3)
-        hw = pad_centered(jnp.zeros((1, h, w, 3)), 64)[0].shape[1:3]
+            hdr = read_header(f)
+        if hdr["i_model_id"] != UNSPECIFIED:
+            args.i_model = _inverse(model_ids)[hdr["i_model_id"]]
+            args.i_quality = hdr["i_quality"]
+        if hdr["stem_variant_id"] != UNSPECIFIED:
+            args.stem_variant = _inverse(STEM_VARIANT_IDS)[
+                hdr["stem_variant_id"]
+            ]
+            args.stem_channels = hdr["stem_channels"]
+        hw = pad_centered(
+            jnp.zeros((1, hdr["h"], hdr["w"], 3)), 64
+        )[0].shape[1:3]
         i_model, stem = _build_models(args, tuple(hw))
         decode_video(args.input, i_model, stem, args.output_dir)
 

@@ -344,7 +344,8 @@ class SpatioTemporalPriorModel(CompressionModel):
         """(y_cur, y_cond) → ONE packed u8 transport buffer.
 
         Layout per whole batch (b elements, n = h·w·M symbols and
-        zn = zh·zw·zc each, L scale levels, C = n//4):
+        zn = zh·zw·zc each, L scale levels,
+        C = entropy/transport.py::sparse_capacity(n)):
           [y bitmask  b·n/8  u8, little-endian bits over the SORTED plane]
           [y values   b·C    i8, compacted nonzeros of the sorted plane]
           [counts     b·L    i32, symbols per CDF row]
@@ -424,18 +425,21 @@ class SpatioTemporalPriorModel(CompressionModel):
 
         The encoder-side recurrence must condition the next P-frame on the
         SAME ŷ the decoder reconstructs (evalSTEM.py:144-153 carries
-        out_dec['y_hat']) — carrying the raw latent drifts. ŷ is derived from
-        the int8-clipped symbols, i.e. exactly the shipped stream's
-        reconstruction (on overflow the caller re-encodes dense anyway)."""
+        out_dec['y_hat']) — carrying the raw latent drifts. The carry clips
+        at the DENSE transport's int16 band: identical to the int8-clipped
+        sparse reconstruction whenever the frame ships sparse, and identical
+        to the dense fallback's reconstruction when int8 overflows — so a
+        mid-GOP fallback (eval/pipeline.py::encode_frames) never drifts."""
         packed = self.fused_encode_sparse_expr(y_cur, y_cond)
         # recompute ŷ cheaply from the same subexpressions (XLA CSEs the
         # shared networks inside the single jit)
         medians = jnp.asarray(self.tables["entropy_bottleneck"].medians,
                               jnp.float32)
+        lim = self._I16_LIM
         y_cur_c, y_cond_c = self._cast(y_cur), self._cast(y_cond)
         z = self._apply(y_cur_c, y_cond_c, method="hyper_encode")
         z_sym = jnp.clip(jnp.round(z.astype(jnp.float32) - medians),
-                         -127, 127)
+                         -lim, lim)
         z_hat = self._cast(z_sym + medians)
         _, means = self._apply(z_hat, y_cond_c, method="entropy_params")
         means = means.astype(jnp.float32)
@@ -444,7 +448,7 @@ class SpatioTemporalPriorModel(CompressionModel):
             if self.residual
             else jnp.asarray(y_cur, jnp.float32)
         )
-        sym = jnp.clip(jnp.round(target - means), -127, 127)
+        sym = jnp.clip(jnp.round(target - means), -lim, lim)
         target_hat = sym + means
         y_hat = (
             target_hat + jnp.asarray(y_cond, jnp.float32)
@@ -634,8 +638,12 @@ class SpatioTemporalPriorModel(CompressionModel):
         coords, valid, encoder, *_ = self._wavefront_setup(th, tw)
         syms, idxs, _ = encoder(target, priors, coords, valid)
 
-        sym_flat = wf.flatten_wavefront_grouped(syms, coords, valid, b)
-        idx_flat = wf.flatten_wavefront_grouped(idxs, coords, valid, b)
+        if nt > 1:
+            sym_flat = wf.flatten_wavefront_grouped(syms, coords, valid, b)
+            idx_flat = wf.flatten_wavefront_grouped(idxs, coords, valid, b)
+        else:  # identical order, one vectorized gather instead of T loops
+            sym_flat = wf.flatten_wavefront(syms, coords, valid)
+            idx_flat = wf.flatten_wavefront(idxs, coords, valid)
         t = self.tables["gaussian_conditional"]
         y_strings = [
             self.coder.encode_with_indexes(

@@ -21,14 +21,8 @@ from ..models import (
     StemROIWoGsc,
     StemROI_I,
 )
+from ..models import SpatioTemporalPriorModelChannelAR
 from .convert import KEY_MAPS, convert_state_dict, rename_key
-
-
-def _charm_ctor(**kw):
-    from ..models import SpatioTemporalPriorModelChannelAR
-
-    return SpatioTemporalPriorModelChannelAR(**kw)
-
 
 model_architectures = {
     "bmshj2018-factorized": FactorizedPrior,
@@ -70,7 +64,7 @@ stem_models = {
     "stpm_res": lambda **kw: SpatioTemporalPriorModel(variant="res", **kw),
     # beyond-reference: channel-autoregressive STEM (models/charm.py) —
     # SPM-class conditioning with a fully parallel spatial decode
-    "stpm_charm": _charm_ctor,
+    "stpm_charm": SpatioTemporalPriorModelChannelAR,
 }
 
 # ROI / pixel-domain video family (stem_roi.py class names)

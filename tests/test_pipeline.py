@@ -169,6 +169,27 @@ def test_gop_carry_consistency(setup):
     assert enc2_again["strings"][1] == encs[1]["strings"][1]
 
 
+def test_encode_frames_dense_fallback_keeps_carry(setup):
+    """int8 overflow mid-GOP: encode_frames must fall back to a dense
+    container for that frame (not abort), and because the sparse carry clips
+    at the dense int16 band the decoder's carry stays byte-consistent."""
+    x, imodel, stem = setup  # unscaled nets → symbols overflow int8
+    pipe = StemVideoPipeline(imodel, stem, transport_mode="sparse")
+    y0 = pipe.analysis(x)
+    frames = [x, x * 0.9 + 0.05]
+    encs = list(pipe.encode_frames(frames, y0))
+    if all(e["transport"] == "sparse" for e in encs):
+        pytest.skip("workload did not overflow int8; fallback not exercised")
+    assert all(e["transport"] == "dense" for e in encs)
+
+    outs = list(pipe.decode_frames(iter(encs), y0))
+    assert len(outs) == 2
+    # re-encoding frame 1 from the DECODER's carry reproduces its stream
+    enc1_again, _ = pipe.encode_frame(frames[1], outs[0][1])
+    assert enc1_again["strings"][0] == encs[1]["strings"][0]
+    assert enc1_again["strings"][1] == encs[1]["strings"][1]
+
+
 def test_gop_forward_matches_per_frame_chain(setup):
     """One-dispatch lax.scan GOP evaluation must reproduce the per-frame
     model-API recurrence (analysis → forward(dequantize) → get_x)."""

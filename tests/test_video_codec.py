@@ -51,13 +51,13 @@ def test_stemv_dense_fallback_records(tmp_path):
     out = tmp_path / "dense.stemv"
     encode_video(frames, i_model, stem, out, gop=3)
 
-    import struct
-
-    from spatiotemporalentropymodel_tpu.eval.video_codec import _read_frame
+    from spatiotemporalentropymodel_tpu.eval.video_codec import (
+        _read_frame,
+        read_header,
+    )
 
     with out.open("rb") as f:
-        f.read(6)
-        f.read(12)
+        read_header(f)
         types = [_read_frame(f)[0] for _ in range(3)]
     assert types[0] == 0 and all(t == 2 for t in types[1:])
 
@@ -101,13 +101,14 @@ def test_stemv_roundtrip(tmp_path):
     x1, _ = pad_centered(jnp.asarray(frames[1])[None], 64)
     enc1, _ = pipe.encode_frame(x1, y_cond)
 
-    import struct
-
-    from spatiotemporalentropymodel_tpu.eval.video_codec import _read_frame
+    from spatiotemporalentropymodel_tpu.eval.video_codec import (
+        _read_frame,
+        read_header,
+    )
 
     with out.open("rb") as f:
-        f.read(6)
-        f.read(12)
+        hdr = read_header(f)
+        assert (hdr["n_frames"], hdr["h"], hdr["w"]) == (5, 60, 62)
         _read_frame(f)  # I-frame record
         ftype, shape, counts, strings = _read_frame(f)
     assert ftype == 1
