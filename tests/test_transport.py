@@ -60,3 +60,16 @@ def test_unpack_encode_rejects_wrong_size():
     layout = transport.SparseLayout(b=1, n=64, zn=8, levels=4)
     with pytest.raises(ValueError):
         transport.unpack_encode(np.zeros(layout.total + 1, np.uint8), layout)
+
+
+def test_sparse_capacity_formula():
+    """The single shared capacity definition: n/8 with a 64 floor, capped
+    at n (mirrored by the device encoder and charm's explicit n/4)."""
+    assert transport.sparse_capacity(1_566_720) == 195_840  # 1080p latent
+    assert transport.sparse_capacity(192) == 64  # small plane floor
+    assert transport.sparse_capacity(32) == 32  # floor capped at n
+    layout = transport.SparseLayout(b=1, n=192, zn=8, levels=4)
+    assert layout.cap == transport.sparse_capacity(192)
+    explicit = transport.SparseLayout(b=1, n=192, zn=8, levels=4,
+                                      cap_value=48)
+    assert explicit.cap == 48
