@@ -188,3 +188,30 @@ class TestLRP:
         dec = m.decompress(enc["strings"], enc["shape"], y_cond,
                            transport_mode=enc["transport"])
         assert np.isfinite(np.asarray(dec["y_hat"])).all()
+
+
+def test_other_group_counts_roundtrip():
+    """The group machinery (EPM/LRP widths, composite-key transport) must
+    generalize beyond the default G=4."""
+    m = SpatioTemporalPriorModelChannelAR(
+        groups=8, entropy_bottleneck_channels=EBC, in_channels=16
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+    y_cond = jax.random.normal(k1, (1, 8, 8, 16))
+    y_cur = y_cond + 0.3 * jax.random.normal(k2, y_cond.shape)
+    m.init(y_cur, y_cond)
+    m.params = jax.tree_util.tree_map(lambda p: p * 0.01, m.params)
+    m.update()
+
+    out = m.forward(y_cur, y_cond)
+    assert out["likelihoods"]["y"].shape == y_cur.shape
+    enc = m.compress(y_cur, y_cond)
+    assert len(enc["strings"][0][0]) == 8  # one stream per group
+    dec = m.decompress(enc["strings"], enc["shape"], y_cond,
+                       transport_mode=enc["transport"],
+                       counts=enc.get("counts"))
+    dec2 = m.decompress(enc["strings"], enc["shape"], y_cond,
+                        transport_mode=enc["transport"])
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]), np.asarray(dec2["y_hat"])
+    )
