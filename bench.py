@@ -390,6 +390,7 @@ def run_charm() -> dict:
 
     enc = model.compress(y_cur, y_cond)  # warm compile
     dec = model.decompress(enc["strings"], tuple(enc["shape"]), y_cond,
+                           transport_mode=enc["transport"],
                            counts=enc.get("counts"))
     jax.block_until_ready(dec["y_hat"])
     t0 = time.perf_counter()
@@ -397,6 +398,7 @@ def run_charm() -> dict:
     enc_t = time.perf_counter() - t0
     t0 = time.perf_counter()
     dec = model.decompress(enc["strings"], tuple(enc["shape"]), y_cond,
+                           transport_mode=enc["transport"],
                            counts=enc.get("counts"))
     jax.block_until_ready(dec["y_hat"])
     dec_t = time.perf_counter() - t0

@@ -14,7 +14,7 @@ vs ~10 MB dense.
 """
 
 from dataclasses import dataclass
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -43,7 +43,7 @@ class SparseLayout:
     levels: int
     # explicit values-plane capacity for layouts whose encoder uses a
     # different formula (charm.py packs n//4); default = sparse_capacity(n)
-    cap_value: int = None
+    cap_value: Optional[int] = None
 
     @property
     def cap(self) -> int:

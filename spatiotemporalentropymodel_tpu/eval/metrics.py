@@ -102,6 +102,16 @@ def ms_ssim(a, b, max_val: float = 1.0, kernel_size: int = 11,
     """
     weights = jnp.asarray(_MSSSIM_WEIGHTS)
     levels = len(_MSSSIM_WEIGHTS)
+    # pytorch_msssim's input contract: after the 4 downsamplings the smallest
+    # scale must still fit the filter window, else the conv output is empty
+    # and the mean is NaN
+    min_side = min(a.shape[1], a.shape[2])
+    if min_side <= (kernel_size - 1) * 2 ** (levels - 1):
+        raise ValueError(
+            f"ms_ssim needs min(H, W) > {(kernel_size - 1) * 2 ** (levels - 1)}"
+            f" for {levels} scales with kernel_size={kernel_size}; "
+            f"got {min_side}"
+        )
     vals = []
     for i in range(levels):
         s, cs = _ssim_per_channel(a, b, max_val, kernel_size, sigma)

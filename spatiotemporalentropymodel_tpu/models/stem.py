@@ -614,6 +614,14 @@ class SpatioTemporalPriorModel(CompressionModel):
         if not self.wavefront_tile:
             return hgt, wid, 1
         th, tw = self.wavefront_tile
+        # tw >= 3 keeps every wavefront round non-empty (round t covers
+        # coords with 3r + c == t, c < tw); the decode loop relies on that
+        # invariant to skip the n_valid == 0 guard.
+        if th < 1 or tw < 3:
+            raise ValueError(
+                f"wavefront_tile must have th >= 1 and tw >= 3, got "
+                f"({th}, {tw})"
+            )
         if hgt % th or wid % tw:
             raise ValueError(
                 f"latent {hgt}x{wid} not divisible by wavefront_tile "

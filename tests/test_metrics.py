@@ -36,12 +36,17 @@ class TestSSIM:
         y = x + jnp.asarray(rng.normal(0, 0.1, x.shape), jnp.float32)
         assert float(ssim(x, x)) > float(ssim(x, y))
 
-    def test_msssim_parity_with_canonical_torch(self):
-        """Parity vs a torch transcription of pytorch_msssim's exact
-        algorithm (the package the reference evaluates with,
-        stem/evalSTEM.py:16; it is not installed here, so its published
-        computation — separable gaussian filter, per-channel cs/ssim means,
-        relu'd stack, weighted product, final mean — is transcribed below)."""
+    def test_msssim_parity_with_transcribed_oracle(self):
+        """Parity vs a TRANSCRIBED oracle of pytorch_msssim's algorithm.
+
+        Disclosure: the canonical package (the one the reference evaluates
+        with, stem/evalSTEM.py:16) is not installed on this box and there is
+        no network egress, so the oracle below is a transcription of its
+        published computation — separable gaussian filter, per-channel
+        cs/ssim means, relu'd stack, weighted product, final mean — NOT an
+        import of the package itself. Golden values for the three pairs are
+        additionally pinned (test_msssim_golden_values) so a future edit to
+        either side trips loudly."""
         import torch
         import torch.nn.functional as F
 
@@ -88,17 +93,7 @@ class TestSSIM:
             val = torch.prod(mcs_and_ssim ** weights.view(-1, 1, 1), dim=0)
             return val.mean()
 
-        rng = np.random.default_rng(2)
-        # structured "real image"-like pairs: smooth gradient + blocks + noise
-        yy, xx = np.mgrid[0:192, 0:192].astype(np.float32) / 192.0
-        base = np.stack([yy, xx, 0.5 * (xx + yy)], axis=-1)
-        base[40:120, 60:150] += 0.3
-        base = np.clip(base + 0.05 * rng.standard_normal(base.shape), 0, 1)
-        for sigma_n, size in ((0.03, 192), (0.08, 177)):  # incl. odd dims
-            a = base[None, :size, :size].astype(np.float32)
-            b = np.clip(
-                a + rng.normal(0, sigma_n, a.shape), 0, 1
-            ).astype(np.float32)
+        for (sigma_n, size), a, b in self._pairs():
             ours = float(ms_ssim(jnp.asarray(a), jnp.asarray(b)))
             theirs = float(
                 torch_ms_ssim(
@@ -107,6 +102,39 @@ class TestSSIM:
                 )
             )
             np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+    @staticmethod
+    def _pairs():
+        """Three structured 'real image'-like pairs (incl. odd dims)."""
+        rng = np.random.default_rng(2)
+        yy, xx = np.mgrid[0:192, 0:192].astype(np.float32) / 192.0
+        base = np.stack([yy, xx, 0.5 * (xx + yy)], axis=-1)
+        base[40:120, 60:150] += 0.3
+        base = np.clip(base + 0.05 * rng.standard_normal(base.shape), 0, 1)
+        out = []
+        for sigma_n, size in ((0.03, 192), (0.08, 177), (0.15, 192)):
+            a = base[None, :size, :size].astype(np.float32)
+            b = np.clip(
+                a + rng.normal(0, sigma_n, a.shape), 0, 1
+            ).astype(np.float32)
+            out.append(((sigma_n, size), a, b))
+        return out
+
+    def test_msssim_golden_values(self):
+        """Golden values pinned for the three oracle pairs: a future edit to
+        ms_ssim OR to the pair construction trips this regardless of whether
+        the transcribed torch oracle moved in lockstep."""
+        golden = [0.9690148830413818, 0.844976544380188, 0.6713430285453796]
+        for ((_, _), a, b), want in zip(self._pairs(), golden):
+            got = float(ms_ssim(jnp.asarray(a), jnp.asarray(b)))
+            np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_msssim_rejects_too_small(self):
+        """Inputs too small for 5 scales raise (pytorch_msssim asserts the
+        same bound; silently they produce NaN from empty conv outputs)."""
+        x = jnp.ones((1, 160, 160, 3)) * 0.5
+        with pytest.raises(ValueError, match="min\\(H, W\\)"):
+            ms_ssim(x, x)
 
     def test_msssim_monotone(self):
         rng = np.random.default_rng(3)
