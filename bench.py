@@ -197,9 +197,10 @@ def run_pipeline(batch: int) -> dict:
         z_sym = eb.decompress(enc["strings"][1], z_idx, zt, stem.coder)
         stages["dec_z"].append(time.perf_counter() - t)
         t = time.perf_counter()
-        y_sorted = tp.decode_grouped(enc["strings"][0], enc["counts"],
-                                     gc_tables, stem.coder)
-        maskbits, values = tp.pack_decode_payload(y_sorted, layout.cap)
+        maskbits, values = tp.decode_grouped_packed(
+            enc["strings"][0], np.asarray(enc["counts"], np.int32),
+            layout.cap, gc_tables, stem.coder,
+        )
         payload = np.concatenate([
             maskbits.reshape(-1), values.view(np.uint8).reshape(-1),
             np.ascontiguousarray(z_sym.astype(np.int8)).view(np.uint8)
@@ -453,11 +454,18 @@ def measure_host_coder() -> dict:
         return r, round(1e3 * float(np.median(vals)), 2)
 
     s, enc_ms = t3(lambda: tp.encode_grouped(sym, counts, tables, coder))
-    y, dec_ms = t3(lambda: tp.decode_grouped(s, counts, tables, coder))
-    _, pack_ms = t3(lambda: tp.pack_decode_payload(
-        y, tp.sparse_capacity(n)))
-    return {"enc_ms": enc_ms, "dec_ms": dec_ms, "pack_ms": pack_ms,
-            "total_ms": round(enc_ms + dec_ms + pack_ms, 2)}
+    # serving decode is the FUSED path: rANS → (bitmask, compacted int8) in
+    # one C pass — the dense symbol plane and pack_decode_payload no longer
+    # exist on the hot path (rans.cpp::stem_decode_runs packed mode)
+    cap = tp.sparse_capacity(n)
+    packed, decpack_ms = t3(
+        lambda: tp.decode_grouped_packed(s, counts, cap, tables, coder))
+    if packed is None:  # non-native coder fallback
+        y, dec_ms = t3(lambda: tp.decode_grouped(s, counts, tables, coder))
+        _, pack_ms = t3(lambda: tp.pack_decode_payload(y, cap))
+        decpack_ms = dec_ms + pack_ms
+    return {"enc_ms": enc_ms, "dec_pack_ms": decpack_ms,
+            "total_ms": round(enc_ms + decpack_ms, 2)}
 
 
 def pcie_projection(pipe_res, device_res, host_coder) -> dict:

@@ -22,6 +22,7 @@ from . import _numpy_rans
 class NumpyCoder:
     name = "numpy"
     supports_lut = False
+    supports_runs = False
 
     def encode_with_indexes(self, symbols, indexes, cdfs, cdf_lengths, offsets):
         cdfs = np.asarray(cdfs, dtype=np.int32)
@@ -65,16 +66,45 @@ class _NumpyStream:
 class NativeCoder:
     name = "rans"
     supports_lut = True
+    # run-based grouped container (counts-derived rows, chunked lanes,
+    # fused packed decode) — the sparse transport's fast path
+    supports_runs = True
+    n_lanes = 1  # single stream
 
     def __init__(self):
         from . import rans as _rans
 
         self._rans = _rans
 
-    def encode_with_indexes(self, symbols, indexes, cdfs, cdf_lengths, offsets):
+    def encode_with_indexes(self, symbols, indexes, cdfs, cdf_lengths, offsets,
+                            esym=None):
         return self._rans.encode_with_indexes(
-            symbols, indexes, cdfs, cdf_lengths, offsets
+            symbols, indexes, cdfs, cdf_lengths, offsets, esym
         )
+
+    def build_enc_table(self, cdfs, cdf_lengths):
+        return self._rans.build_enc_table(cdfs, cdf_lengths)
+
+    def encode_runs(self, symbols, counts, cdfs, cdf_lengths, offsets,
+                    esym=None):
+        return self._rans.encode_runs(
+            symbols, counts, cdfs, cdf_lengths, offsets, self.n_lanes, esym
+        )
+
+    def decode_runs(self, data, counts, n, cdfs, cdf_lengths, offsets,
+                    lut=None):
+        return self._rans.decode_runs(
+            data, counts, n, cdfs, cdf_lengths, offsets, lut
+        )
+
+    def decode_runs_packed(self, data, counts, n, cap, cdfs, cdf_lengths,
+                           offsets, lut=None):
+        return self._rans.decode_runs_packed(
+            data, counts, n, cap, cdfs, cdf_lengths, offsets, lut
+        )
+
+    def expand_sparse(self, maskbits, values, n):
+        return self._rans.expand_sparse(maskbits, values, n)
 
     def decode_with_indexes(self, data, indexes, cdfs, cdf_lengths, offsets,
                             lut=None):
@@ -96,9 +126,10 @@ class InterleavedCoder(NativeCoder):
         super().__init__()
         self.n_lanes = int(n_lanes)
 
-    def encode_with_indexes(self, symbols, indexes, cdfs, cdf_lengths, offsets):
+    def encode_with_indexes(self, symbols, indexes, cdfs, cdf_lengths, offsets,
+                            esym=None):
         return self._rans.encode_interleaved(
-            symbols, indexes, cdfs, cdf_lengths, offsets, self.n_lanes
+            symbols, indexes, cdfs, cdf_lengths, offsets, self.n_lanes, esym
         )
 
     def decode_with_indexes(self, data, indexes, cdfs, cdf_lengths, offsets,

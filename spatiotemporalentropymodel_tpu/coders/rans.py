@@ -31,7 +31,7 @@ def _lib():
     lib.stem_encode_with_indexes.restype = ctypes.c_int64
     lib.stem_encode_with_indexes.argtypes = [
         _i32p, _i32p, ctypes.c_int64, _i32p, ctypes.c_int32, ctypes.c_int32,
-        _i32p, _i32p, _u8p, ctypes.c_int64,
+        _i32p, _i32p, _u8p, ctypes.c_int64, ctypes.c_void_p,
     ]
 
     lib.stem_decode_with_indexes.restype = ctypes.c_int
@@ -43,7 +43,32 @@ def _lib():
     lib.stem_encode_interleaved.restype = ctypes.c_int64
     lib.stem_encode_interleaved.argtypes = [
         _i32p, _i32p, ctypes.c_int64, _i32p, ctypes.c_int32, ctypes.c_int32,
-        _i32p, _i32p, ctypes.c_int32, _u8p, ctypes.c_int64,
+        _i32p, _i32p, ctypes.c_int32, _u8p, ctypes.c_int64, ctypes.c_void_p,
+    ]
+
+    lib.stem_build_enc_table.restype = None
+    lib.stem_build_enc_table.argtypes = [
+        _i32p, ctypes.c_int32, ctypes.c_int32, _i32p, _u8p,
+    ]
+    lib.stem_enc_sym_bytes.restype = ctypes.c_int32
+    lib.stem_enc_sym_bytes.argtypes = []
+
+    lib.stem_encode_runs.restype = ctypes.c_int64
+    lib.stem_encode_runs.argtypes = [
+        _i32p, ctypes.c_int64, _i32p, ctypes.c_int32, _i32p, ctypes.c_int32,
+        _i32p, _i32p, ctypes.c_void_p, ctypes.c_int32, _u8p, ctypes.c_int64,
+    ]
+
+    lib.stem_decode_runs.restype = ctypes.c_int64
+    lib.stem_decode_runs.argtypes = [
+        _u8p, ctypes.c_int64, _i32p, ctypes.c_int32, ctypes.c_int64, _i32p,
+        ctypes.c_int32, _i32p, _i32p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
+
+    lib.stem_expand_sparse.restype = None
+    lib.stem_expand_sparse.argtypes = [
+        _u8p, ctypes.c_void_p, ctypes.c_int64, _i32p,
     ]
 
     lib.stem_decode_interleaved.restype = ctypes.c_int
@@ -110,7 +135,25 @@ def _prep(symbols, indexes, cdfs, cdf_lengths, offsets):
     return symbols, indexes, cdfs, _as_i32(cdf_lengths), _as_i32(offsets)
 
 
-def encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets) -> bytes:
+def build_enc_table(cdfs, cdf_lengths) -> np.ndarray:
+    """Reciprocal encoder-symbol table (rows, cols-1) × 24-byte EncSym —
+    removes the per-symbol integer division from every encode path while
+    emitting byte-identical streams (rans.cpp::enc_put_sym)."""
+    cdfs = _as_i32(cdfs)
+    lengths = _as_i32(cdf_lengths)
+    esym_bytes = int(_lib().stem_enc_sym_bytes())
+    out = np.zeros(cdfs.shape[0] * (cdfs.shape[1] - 1) * esym_bytes, np.uint8)
+    _lib().stem_build_enc_table(cdfs, cdfs.shape[0], cdfs.shape[1], lengths,
+                                out)
+    return out
+
+
+def _esym_ptr(esym):
+    return None if esym is None else esym.ctypes.data
+
+
+def encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets,
+                        esym=None) -> bytes:
     symbols, indexes, cdfs, lengths, offs = _prep(
         symbols, indexes, cdfs, cdf_lengths, offsets
     )
@@ -120,7 +163,7 @@ def encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets) -> bytes:
         out = np.empty(cap, dtype=np.uint8)
         rc = _lib().stem_encode_with_indexes(
             symbols, indexes, n, cdfs, cdfs.shape[0], cdfs.shape[1],
-            lengths, offs, out, cap,
+            lengths, offs, out, cap, _esym_ptr(esym),
         )
         if rc >= 0:
             return out[:rc].tobytes()
@@ -179,7 +222,8 @@ def decode_with_indexes(data: bytes, indexes, cdfs, cdf_lengths, offsets,
 
 
 def encode_interleaved(
-    symbols, indexes, cdfs, cdf_lengths, offsets, n_lanes: int = 8
+    symbols, indexes, cdfs, cdf_lengths, offsets, n_lanes: int = 8,
+    esym=None
 ) -> bytes:
     symbols, indexes, cdfs, lengths, offs = _prep(
         symbols, indexes, cdfs, cdf_lengths, offsets
@@ -191,11 +235,87 @@ def encode_interleaved(
         out = np.empty(cap, dtype=np.uint8)
         rc = _lib().stem_encode_interleaved(
             symbols, indexes, n, cdfs, cdfs.shape[0], cdfs.shape[1],
-            lengths, offs, n_lanes, out, cap,
+            lengths, offs, n_lanes, out, cap, _esym_ptr(esym),
         )
         if rc >= 0:
             return out[:rc].tobytes()
         cap = -rc
+
+
+def encode_runs(symbols, counts, cdfs, cdf_lengths, offsets,
+                n_lanes: int = 8, esym=None) -> bytes:
+    """Encode grouped-by-CDF-row symbols; rows derive from the run-length
+    `counts` (levels,) vector — no per-symbol index array. Contiguous-chunk
+    lane container (rans.cpp::stem_encode_runs)."""
+    symbols = _as_i32(symbols).reshape(-1)
+    counts = _as_i32(counts).reshape(-1)
+    cdfs = _as_i32(cdfs)
+    lengths, offs = _as_i32(cdf_lengths), _as_i32(offsets)
+    n = symbols.shape[0]
+    n_lanes = max(1, min(int(n_lanes), max(1, n // 8)))
+    cap = 4 * n + 64 * n_lanes + 1024
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        rc = _lib().stem_encode_runs(
+            symbols, n, counts, counts.shape[0], cdfs, cdfs.shape[1],
+            lengths, offs, _esym_ptr(esym), n_lanes, out, cap,
+        )
+        if rc >= 0:
+            return out[:rc].tobytes()
+        if rc in (-1, -3):
+            raise ValueError(f"encode_runs failed (rc={rc})")
+        cap = -rc
+
+
+def decode_runs(data: bytes, counts, n: int, cdfs, cdf_lengths, offsets,
+                lut=None):
+    """Decode a run-based container → dense int32 symbols (n,)."""
+    counts = _as_i32(counts).reshape(-1)
+    cdfs = _as_i32(cdfs)
+    lengths, offs = _as_i32(cdf_lengths), _as_i32(offsets)
+    out = np.empty(n, dtype=np.int32)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    lut_ptr, dom_ptr = _lut_ptrs(lut)
+    rc = _lib().stem_decode_runs(
+        buf, buf.shape[0], counts, counts.shape[0], n, cdfs, cdfs.shape[1],
+        lengths, offs, lut_ptr, dom_ptr, out.ctypes.data, None, None, 0,
+    )
+    if rc < 0:
+        raise ValueError(f"run-based rans decode failed (rc={rc})")
+    return out
+
+
+def decode_runs_packed(data: bytes, counts, n: int, cap: int, cdfs,
+                       cdf_lengths, offsets, lut=None):
+    """Decode a run-based container straight into the decode-payload format:
+    (maskbits u8 (n/8,), values i8 (cap,), nz). Returns None on values-plane
+    overflow (caller falls back to the dense path)."""
+    counts = _as_i32(counts).reshape(-1)
+    cdfs = _as_i32(cdfs)
+    lengths, offs = _as_i32(cdf_lengths), _as_i32(offsets)
+    maskbits = np.empty((n + 7) // 8, dtype=np.uint8)
+    values = np.zeros(cap, dtype=np.int8)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    lut_ptr, dom_ptr = _lut_ptrs(lut)
+    rc = _lib().stem_decode_runs(
+        buf, buf.shape[0], counts, counts.shape[0], n, cdfs, cdfs.shape[1],
+        lengths, offs, lut_ptr, dom_ptr, None, maskbits.ctypes.data,
+        values.ctypes.data, int(cap),
+    )
+    if rc == -5:
+        return None
+    if rc < 0:
+        raise ValueError(f"run-based packed decode failed (rc={rc})")
+    return maskbits, values, int(rc)
+
+
+def expand_sparse(maskbits, values, n: int) -> np.ndarray:
+    """(bitmask, compacted int8 values) → dense int32 symbols (n,)."""
+    maskbits = np.ascontiguousarray(maskbits, np.uint8).reshape(-1)
+    values = np.ascontiguousarray(values, np.int8).reshape(-1)
+    out = np.empty(n, dtype=np.int32)
+    _lib().stem_expand_sparse(maskbits, values.ctypes.data, n, out)
+    return out
 
 
 def decode_interleaved(data: bytes, indexes, cdfs, cdf_lengths, offsets,

@@ -43,6 +43,20 @@ def _flatten(plane: np.ndarray, order: str) -> np.ndarray:
     return np.ascontiguousarray(plane).reshape(-1)
 
 
+def get_enc_table(tables: CodecTables, coder) -> Optional[np.ndarray]:
+    """Cached reciprocal encoder-symbol table (native coder): replaces the
+    per-symbol integer division with a multiply while emitting byte-identical
+    streams (rans.cpp::enc_put_sym). Cached on the tables instance like the
+    decode LUT (see get_lut for the id()-reuse rationale)."""
+    if not getattr(coder, "supports_runs", False):
+        return None
+    esym = getattr(tables, "_esym", None)
+    if esym is None:
+        esym = coder.build_enc_table(tables.cdf, tables.cdf_length)
+        object.__setattr__(tables, "_esym", esym)
+    return esym
+
+
 def compress(
     symbols,
     indexes,
@@ -59,6 +73,10 @@ def compress(
     indexes = np.asarray(indexes, np.int32)
     if symbols.shape != indexes.shape:
         raise ValueError("`symbols` and `indexes` must have the same shape")
+    kw = {}
+    esym = get_enc_table(tables, coder)
+    if esym is not None:
+        kw["esym"] = esym
     return [
         coder.encode_with_indexes(
             _flatten(symbols[i], order),
@@ -66,6 +84,7 @@ def compress(
             tables.cdf,
             tables.cdf_length,
             tables.offset,
+            **kw,
         )
         for i in range(symbols.shape[0])
     ]

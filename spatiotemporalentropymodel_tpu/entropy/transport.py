@@ -98,11 +98,19 @@ def unpack_encode(buf, layout: SparseLayout) -> SparseEncodePlanes:
             overflow=True,
         )
 
-    mask = np.unpackbits(maskbits, axis=-1, bitorder="little").astype(bool)
-    y_sorted = np.zeros((b, n), np.int32)
-    for i in range(b):
-        nz = int(meta[i, 0])
-        y_sorted[i, mask[i]] = values[i, :nz]
+    coder = get_coder()
+    if getattr(coder, "supports_runs", False):
+        y_sorted = np.stack([
+            coder.expand_sparse(maskbits[i], values[i], n) for i in range(b)
+        ])
+    else:
+        mask = np.unpackbits(
+            maskbits, axis=-1, bitorder="little"
+        ).astype(bool)
+        y_sorted = np.zeros((b, n), np.int32)
+        for i in range(b):
+            nz = int(meta[i, 0])
+            y_sorted[i, mask[i]] = values[i, :nz]
     return SparseEncodePlanes(
         y_sorted=y_sorted,
         counts=counts,
@@ -125,7 +133,23 @@ def encode_grouped(
     tables: CodecTables,
     coder=None,
 ) -> List[bytes]:
-    """rANS-encode grouped-order symbols (one stream per batch element)."""
+    """rANS-encode grouped-order symbols (one stream per batch element).
+
+    Native coders use the run-based container (per-symbol rows derived from
+    `counts` on both sides — no index plane, row constants hoisted,
+    reciprocal-multiply division); others get the generic indexed path."""
+    coder = coder or get_coder()
+    if getattr(coder, "supports_runs", False):
+        y_sorted = np.ascontiguousarray(y_sorted, np.int32)
+        counts = np.ascontiguousarray(counts, np.int32)
+        esym = entropy_base.get_enc_table(tables, coder)
+        return [
+            coder.encode_runs(
+                y_sorted[i], counts[i], tables.cdf, tables.cdf_length,
+                tables.offset, esym,
+            )
+            for i in range(y_sorted.shape[0])
+        ]
     return entropy_base.compress(
         y_sorted, rows_from_counts(counts), tables, coder, order="hwc"
     )
@@ -138,9 +162,53 @@ def decode_grouped(
     coder=None,
 ) -> np.ndarray:
     """Decode grouped-order streams → (b, n) int32 sorted symbols."""
+    coder = coder or get_coder()
+    counts = np.ascontiguousarray(counts, np.int32)
+    if getattr(coder, "supports_runs", False):
+        lut = entropy_base.get_lut(tables, coder)
+        n = int(counts[0].sum())
+        return np.stack([
+            coder.decode_runs(
+                s, counts[i], n, tables.cdf, tables.cdf_length,
+                tables.offset, lut,
+            )
+            for i, s in enumerate(strings)
+        ])
     return entropy_base.decompress(
         strings, rows_from_counts(counts), tables, coder, order="hwc"
     )
+
+
+def decode_grouped_packed(
+    strings: Sequence[bytes],
+    counts: np.ndarray,
+    cap: int,
+    tables: CodecTables,
+    coder=None,
+):
+    """Decode grouped streams STRAIGHT into the decode-payload format:
+    (maskbits u8 (b, n/8), values i8 (b, cap)) — the rANS decoder emits the
+    bitmask and compacted nonzeros as it goes, so the dense (b, n) int32
+    plane never materializes and pack_decode_payload disappears. Returns
+    None when the coder lacks the fused path or a values plane overflows
+    `cap` (caller falls back to decode_grouped + pack_decode_payload)."""
+    coder = coder or get_coder()
+    if not getattr(coder, "supports_runs", False):
+        return None
+    counts = np.ascontiguousarray(counts, np.int32)
+    lut = entropy_base.get_lut(tables, coder)
+    n = int(counts[0].sum())
+    maskbits = np.empty((len(strings), (n + 7) // 8), np.uint8)
+    values = np.empty((len(strings), cap), np.int8)
+    for i, s in enumerate(strings):
+        res = coder.decode_runs_packed(
+            s, counts[i], n, cap, tables.cdf, tables.cdf_length,
+            tables.offset, lut,
+        )
+        if res is None:
+            return None
+        maskbits[i], values[i] = res[0], res[1]
+    return maskbits, values
 
 
 def pack_decode_payload(y_sorted: np.ndarray, cap: int):

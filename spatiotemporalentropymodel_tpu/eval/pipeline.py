@@ -278,11 +278,20 @@ class StemVideoPipeline:
         zt = self.stem.tables["entropy_bottleneck"]
         z_idx = entropy_base.bottleneck_indexes((b, zh, zw, zt.rows), zt.rows)
         z_sym = entropy_base.decompress(strings[1], z_idx, zt, self.stem.coder)
-        y_sorted = transport.decode_grouped(
-            strings[0], np.asarray(enc["counts"], np.int32),
-            self.stem.tables["gaussian_conditional"], self.stem.coder,
+        counts = np.asarray(enc["counts"], np.int32)
+        gc_tables = self.stem.tables["gaussian_conditional"]
+        packed = transport.decode_grouped_packed(
+            strings[0], counts, layout.cap, gc_tables, self.stem.coder
         )
-        maskbits, values = transport.pack_decode_payload(y_sorted, layout.cap)
+        if packed is not None:  # fused rANS→payload (native coders)
+            maskbits, values = packed
+        else:
+            y_sorted = transport.decode_grouped(
+                strings[0], counts, gc_tables, self.stem.coder
+            )
+            maskbits, values = transport.pack_decode_payload(
+                y_sorted, layout.cap
+            )
         payload = np.concatenate([
             maskbits.reshape(-1),
             values.view(np.uint8).reshape(-1),

@@ -355,14 +355,10 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
             per_group = []
             for g in range(self.groups):
                 seg = planes.y_sorted[i, offs[g]:offs[g + 1]]
-                rows = np.repeat(
-                    np.arange(levels, dtype=np.int32), counts[i, g]
-                )
                 per_group.append(
-                    self.coder.encode_with_indexes(
-                        seg.astype(np.int32), rows,
-                        gt.cdf, gt.cdf_length, gt.offset,
-                    )
+                    transport.encode_grouped(
+                        seg[None], counts[i, g][None], gt, self.coder
+                    )[0]
                 )
             y_strings.append(per_group)
         return {
@@ -640,13 +636,21 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
         cap = n_g // 4
         segments = []
         for g in range(self.groups):
-            y_sorted = transport.decode_grouped(
-                [y_strings[i][g] for i in range(b)], counts[:, g], gt,
-                self.coder,
+            group_strings = [y_strings[i][g] for i in range(b)]
+            packed = transport.decode_grouped_packed(
+                group_strings, counts[:, g], cap, gt, self.coder
             )
-            if int((y_sorted != 0).sum(axis=-1).max()) > cap:
-                return None
-            maskbits, values = transport.pack_decode_payload(y_sorted, cap)
+            if packed is not None:
+                maskbits, values = packed
+            else:  # coder without the fused path, or nonzeros exceed cap
+                y_sorted = transport.decode_grouped(
+                    group_strings, counts[:, g], gt, self.coder
+                )
+                if int((y_sorted != 0).sum(axis=-1).max()) > cap:
+                    return None
+                maskbits, values = transport.pack_decode_payload(
+                    y_sorted, cap
+                )
             segments.append(maskbits.reshape(-1))
             segments.append(values.view(np.uint8).reshape(-1))
         payload = np.concatenate(segments)

@@ -209,3 +209,144 @@ class TestRoundTrip:
             s = coder.encode_with_indexes(symbols, indexes, cdf, cdf_lengths, offsets)
             out = coder.decode_with_indexes(s, indexes, cdf, cdf_lengths, offsets)
             np.testing.assert_array_equal(out, symbols)
+
+
+class TestRunContainer:
+    """Run-based grouped container (rans.cpp::stem_encode_runs /
+    stem_decode_runs): rows derive from per-row counts on both sides, lanes
+    are contiguous 8-aligned chunks, and decode can emit the (bitmask,
+    compacted int8) payload directly. The sparse transport's fast path."""
+
+    @staticmethod
+    def _grouped_payload(tables, n=4096, escapes=True, seed=3):
+        symbols, indexes = _random_payload(tables, n, escapes, seed)
+        order = np.argsort(indexes, kind="stable")
+        counts = np.bincount(indexes, minlength=tables[0].shape[0]).astype(
+            np.int32
+        )
+        return symbols[order], counts
+
+    def test_roundtrip_dense(self, tables):
+        cdf, cdf_lengths, offsets = tables
+        coder = get_coder("rans_interleaved")
+        sym, counts = self._grouped_payload(tables)
+        esym = coder.build_enc_table(cdf, cdf_lengths)
+        s = coder.encode_runs(sym, counts, cdf, cdf_lengths, offsets, esym)
+        out = coder.decode_runs(s, counts, sym.shape[0], cdf, cdf_lengths,
+                                offsets)
+        np.testing.assert_array_equal(out, sym)
+
+    def test_matches_indexed_stream_spec(self, tables):
+        """Each lane's payload is an ordinary single stream over its chunk:
+        decoding lane bytes with the generic indexed decoder must agree."""
+        cdf, cdf_lengths, offsets = tables
+        coder = get_coder("rans")
+        sym, counts = self._grouped_payload(tables, n=1000)
+        rows = np.repeat(
+            np.arange(counts.shape[0], dtype=np.int32), counts
+        )
+        s = coder.encode_runs(sym, counts, cdf, cdf_lengths, offsets)
+        head = int(np.frombuffer(s[:4], np.uint32)[0])
+        assert head & 0x80000000, "chunked flag missing"
+        n_lanes = head & 0x7FFFFFFF
+        lens = np.frombuffer(s[4:4 + 4 * n_lanes], np.uint32)
+        step = ((sym.shape[0] // n_lanes) + 7) & ~7
+        off = 4 + 4 * n_lanes
+        for lane in range(n_lanes):
+            lo = min(lane * step, sym.shape[0])
+            hi = min(lo + step, sym.shape[0])
+            lane_bytes = s[off:off + int(lens[lane])]
+            off += int(lens[lane])
+            got = coder.decode_with_indexes(
+                lane_bytes, rows[lo:hi], cdf, cdf_lengths, offsets
+            )
+            np.testing.assert_array_equal(got, sym[lo:hi])
+
+    def test_packed_decode_equivalence(self, tables):
+        cdf, cdf_lengths, offsets = tables
+        coder = get_coder("rans_interleaved")
+        sym, counts = self._grouped_payload(tables, n=2048, escapes=False)
+        n = sym.shape[0]
+        s = coder.encode_runs(sym, counts, cdf, cdf_lengths, offsets)
+        cap = max(int((sym != 0).sum()), 1)
+        res = coder.decode_runs_packed(s, counts, n, cap, cdf, cdf_lengths,
+                                       offsets)
+        assert res is not None
+        maskbits, values, nz = res
+        assert nz == int((sym != 0).sum())
+        dense = coder.expand_sparse(maskbits, values, n)
+        np.testing.assert_array_equal(
+            dense, np.clip(sym, -128, 127) * (sym != 0)
+        )
+        # capacity overflow reports None at the Python layer
+        assert coder.decode_runs_packed(
+            s, counts, n, max(nz - 1, 0), cdf, cdf_lengths, offsets
+        ) is None
+
+    def test_esym_byte_identity(self, tables):
+        """The reciprocal-multiply encoder emits byte-identical streams to
+        the division path, on every backend entry point."""
+        cdf, cdf_lengths, offsets = tables
+        coder = get_coder("rans_interleaved")
+        sym, idx = _random_payload(tables, 3000, escapes=True, seed=11)
+        esym = coder.build_enc_table(cdf, cdf_lengths)
+        assert native.encode_with_indexes(
+            sym, idx, cdf, cdf_lengths, offsets
+        ) == native.encode_with_indexes(
+            sym, idx, cdf, cdf_lengths, offsets, esym=esym
+        )
+        assert native.encode_interleaved(
+            sym, idx, cdf, cdf_lengths, offsets, 4
+        ) == native.encode_interleaved(
+            sym, idx, cdf, cdf_lengths, offsets, 4, esym=esym
+        )
+        g_sym, counts = self._grouped_payload(tables, n=3000, seed=12)
+        assert coder.encode_runs(
+            g_sym, counts, cdf, cdf_lengths, offsets
+        ) == coder.encode_runs(
+            g_sym, counts, cdf, cdf_lengths, offsets, esym
+        )
+
+    def test_rejects_roundrobin_container(self, tables):
+        """The chunked flag keeps the two container formats from silently
+        mis-parsing each other."""
+        cdf, cdf_lengths, offsets = tables
+        coder = get_coder("rans_interleaved")
+        sym, counts = self._grouped_payload(tables, n=512)
+        rows = np.repeat(np.arange(counts.shape[0], dtype=np.int32), counts)
+        rr = native.encode_interleaved(sym, rows, cdf, cdf_lengths, offsets, 4)
+        with pytest.raises(ValueError):
+            coder.decode_runs(rr, counts, sym.shape[0], cdf, cdf_lengths,
+                              offsets)
+
+    def test_corrupted_stream_no_crash(self, tables):
+        cdf, cdf_lengths, offsets = tables
+        coder = get_coder("rans_interleaved")
+        _, counts = self._grouped_payload(tables, n=512)
+        rng = np.random.default_rng(13)
+        for trial in range(5):
+            garbage = bytearray(
+                rng.integers(0, 256, 96 + 32 * trial, dtype=np.uint8)
+                .tobytes()
+            )
+            garbage[0:4] = (0x80000000 | 2).to_bytes(4, "little")
+            garbage[4:8] = (16).to_bytes(4, "little")
+            garbage[8:12] = (16).to_bytes(4, "little")
+            try:
+                out = coder.decode_runs(bytes(garbage), counts, 512, cdf,
+                                        cdf_lengths, offsets)
+                assert out.shape == (512,)
+            except ValueError:
+                pass  # malformed container detected is fine; crashing is not
+
+    def test_expand_sparse_matches_numpy(self, tables):
+        coder = get_coder("rans_interleaved")
+        rng = np.random.default_rng(14)
+        n = 1024
+        dense = rng.integers(-128, 128, n).astype(np.int32)
+        dense[rng.random(n) < 0.8] = 0
+        mask = dense != 0
+        maskbits = np.packbits(mask, bitorder="little")
+        values = dense[mask].astype(np.int8)
+        out = coder.expand_sparse(maskbits, values, n)
+        np.testing.assert_array_equal(out, dense)
