@@ -115,3 +115,136 @@ def test_stemv_roundtrip(tmp_path):
     assert strings[0][0] == enc1["strings"][0][0]
     assert strings[1][0] == enc1["strings"][1][0]
     np.testing.assert_array_equal(counts, np.asarray(enc1["counts"])[0])
+
+
+def test_stemv_params_hash_guard(tmp_path):
+    """Decoding with weights that differ from the encoder's raises instead
+    of silently emitting random-init garbage (ADVICE r2)."""
+    import pytest
+
+    i_model, stem = _models()
+    rng = np.random.default_rng(1)
+    frames = [rng.random((64, 64, 3)).astype(np.float32) for _ in range(2)]
+    out = tmp_path / "seq.stemv"
+    encode_video(frames, i_model, stem, out, gop=2)
+
+    wrong = SpatioTemporalPriorModel(
+        variant="without_spm", entropy_bottleneck_channels=16, in_channels=M
+    )
+    d = jnp.zeros((1, 4, 4, M))
+    wrong.init(d, d)
+    wrong.params = jax.tree_util.tree_map(lambda p: p * 0.02, wrong.params)
+    wrong.update()
+    with pytest.raises(ValueError, match="--stem-checkpoint"):
+        decode_video(out, i_model, wrong)
+    # the override flag still allows it
+    decode_video(out, i_model, wrong, verify_params=False)
+    # and the correct weights pass
+    decode_video(out, i_model, stem)
+
+
+def test_stemv_wavefront_tiled_flagship(tmp_path):
+    """The flagship res variant (tiled wavefront SPM) files and decodes:
+    the tile shape rides the header, the decoded frames equal the direct
+    model-API chain exactly (VERDICT r2 #5)."""
+    from spatiotemporalentropymodel_tpu.eval.video_codec import read_header
+    from spatiotemporalentropymodel_tpu.ops.padding import pad_centered
+
+    x = jnp.zeros((1, 64, 64, 3))
+    i_model = MeanScaleHyperprior(8, M)
+    i_model.init(x)
+    i_model.params = jax.tree_util.tree_map(lambda p: p * 0.05,
+                                            i_model.params)
+    i_model.update()
+    stem = SpatioTemporalPriorModel(
+        variant="res", entropy_bottleneck_channels=16, in_channels=M,
+        wavefront_tile=(2, 4),
+    )
+    d = jnp.zeros((1, 4, 4, M))
+    stem.init(d, d)
+    stem.params = jax.tree_util.tree_map(lambda p: p * 0.01, stem.params)
+    stem.update()
+
+    rng = np.random.default_rng(5)
+    base = rng.random((64, 64, 3)).astype(np.float32)
+    frames = [np.clip(base + 0.01 * t, 0, 1) for t in range(3)]
+    out = tmp_path / "res.stemv"
+    encode_video(frames, i_model, stem, out, gop=3)
+
+    with out.open("rb") as f:
+        hdr = read_header(f)
+    assert hdr["stem_family"] == 1
+    assert (hdr["cfg0"], hdr["cfg1"]) == (2, 4)
+
+    decoded = decode_video(out, i_model, stem)
+
+    # byte-consistency: the file path must reproduce the direct model-API
+    # chain (same streams → same reconstructions)
+    enc0 = i_model.compress(pad_centered(jnp.asarray(frames[0])[None], 64)[0])
+    dec0 = i_model.decompress(enc0["strings"], tuple(enc0["shape"]))
+    y_cond = dec0["y_hat"]
+    ref = [np.asarray(dec0["x_hat"])[0]]
+    for t in (1, 2):
+        xp, _ = pad_centered(jnp.asarray(frames[t])[None], 64)
+        y_cur = i_model._apply(xp, method="analysis")[0]
+        enc = stem.compress(y_cur, y_cond)
+        dec = stem.decompress(enc["strings"], tuple(enc["shape"]), y_cond)
+        y_cond = dec["y_hat"]
+        ref.append(np.asarray(i_model._apply(y_cond, method="get_x"))[0])
+    for got, want in zip(decoded, ref):
+        np.testing.assert_array_equal(got, want[: got.shape[0], : got.shape[1]])
+
+
+def test_stemv_charm(tmp_path):
+    """Charm streams file and decode: groups/lrp ride the header and the
+    reconstruction equals the direct model-API chain (VERDICT r2 #5)."""
+    from spatiotemporalentropymodel_tpu.eval.video_codec import read_header
+    from spatiotemporalentropymodel_tpu.models import (
+        SpatioTemporalPriorModelChannelAR,
+    )
+    from spatiotemporalentropymodel_tpu.ops.padding import pad_centered
+
+    x = jnp.zeros((1, 64, 64, 3))
+    i_model = MeanScaleHyperprior(8, M)
+    i_model.init(x)
+    i_model.params = jax.tree_util.tree_map(lambda p: p * 0.05,
+                                            i_model.params)
+    i_model.update()
+    stem = SpatioTemporalPriorModelChannelAR(
+        groups=3, entropy_bottleneck_channels=16, in_channels=M
+    )
+    d = jnp.zeros((1, 4, 4, M))
+    stem.init(d, d)
+    stem.params = jax.tree_util.tree_map(lambda p: p * 0.02, stem.params)
+    stem.update()
+
+    rng = np.random.default_rng(6)
+    base = rng.random((64, 64, 3)).astype(np.float32)
+    frames = [np.clip(base + 0.01 * t, 0, 1) for t in range(3)]
+    out = tmp_path / "charm.stemv"
+    encode_video(frames, i_model, stem, out, gop=3)
+
+    with out.open("rb") as f:
+        hdr = read_header(f)
+    assert hdr["stem_family"] == 2
+    assert hdr["cfg0"] == 3  # groups
+    assert hdr["cfg1"] & 1  # lrp flag
+
+    decoded = decode_video(out, i_model, stem)
+    assert len(decoded) == 3
+
+    enc0 = i_model.compress(pad_centered(jnp.asarray(frames[0])[None], 64)[0])
+    dec0 = i_model.decompress(enc0["strings"], tuple(enc0["shape"]))
+    y_cond = dec0["y_hat"]
+    ref = [np.asarray(dec0["x_hat"])[0]]
+    for t in (1, 2):
+        xp, _ = pad_centered(jnp.asarray(frames[t])[None], 64)
+        y_cur = i_model._apply(xp, method="analysis")[0]
+        enc = stem.compress(y_cur, y_cond)
+        dec = stem.decompress(enc["strings"], tuple(enc["shape"]), y_cond,
+                              transport_mode=enc["transport"],
+                              counts=enc.get("counts"))
+        y_cond = dec["y_hat"]
+        ref.append(np.asarray(i_model._apply(y_cond, method="get_x"))[0])
+    for got, want in zip(decoded, ref):
+        np.testing.assert_array_equal(got, want[: got.shape[0], : got.shape[1]])
