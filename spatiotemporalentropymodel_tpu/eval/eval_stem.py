@@ -116,9 +116,17 @@ def eval_sequence(
                 t0 = time.time()
                 enc = stem.compress(y_cur, y_conditioned)
                 enc_t = time.time() - t0
+                # container extras some models emit (charm: transport mode +
+                # per-group counts) flow back into decompress so the decoder
+                # always matches the encoder's actual transport
+                kw = {}
+                if "transport" in enc:
+                    kw["transport_mode"] = enc["transport"]
+                if enc.get("counts") is not None:
+                    kw["counts"] = enc["counts"]
                 t0 = time.time()
                 dec = stem.decompress(enc["strings"], enc["shape"],
-                                      y_conditioned)
+                                      y_conditioned, **kw)
                 dec_t = time.time() - t0
                 y_hat = dec["y_hat"]
                 bpp = actual_bpp(enc["strings"], num_pixels)

@@ -94,10 +94,14 @@ def latents_fn(i_model):
 
 
 def train_stem(config: TrainStemConfig, max_steps: Optional[int] = None,
-               i_model=None):
+               i_model=None, module=None):
     """Run training; returns (state, final metrics). max_steps for tests.
     `i_model`: optional pre-built frozen I-frame codec (overrides the zoo
-    lookup — e.g. a just-trained CPU-sized model in the RD-sweep tooling)."""
+    lookup — e.g. a just-trained CPU-sized model in the RD-sweep tooling).
+    `module`: optional flax module overriding the STEMModule build — any
+    P-frame entropy module with the (y_cur, y_cond, train) call signature
+    and {"y_hat", "likelihoods"} output rides the same harness (e.g.
+    charm's ChannelARSTEMModule in tools/bakeoff.py)."""
     rng = jax.random.PRNGKey(config.seed)
     pyrandom = random.Random(config.seed)
 
@@ -105,7 +109,7 @@ def train_stem(config: TrainStemConfig, max_steps: Optional[int] = None,
         i_model = build_i_model(config)
     get_latents = latents_fn(i_model)
 
-    stem = STEMModule(
+    stem = module if module is not None else STEMModule(
         variant=config.variant,
         entropy_bottleneck_channels=config.entropy_bottleneck_channels,
         in_channels=config.in_channels,

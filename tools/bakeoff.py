@@ -1,0 +1,359 @@
+"""Spatial-context bake-off + RD sweep through the REAL train/eval harness.
+
+VERDICT r2 #1/#2: train, on the same data and I-models, the spatial-context
+candidates — `res` (serial/wavefront SPM, the RD ceiling), tiled-`res` (same
+weights, context resets at tile borders) and `charm` (channel-AR, G groups)
+— next to the parallel `without_spm` serving baseline, then GOP-evaluate
+every config with REAL entropy coding and publish one table of bpp/PSNR
+deltas. The λ sweep additionally extends to low rates so at least one
+trained model lands at the published operating range (≤ 0.2 bpp,
+results/draw_stem_rdcurve.py:60-62) and its weights can run bench.py's real
+serving pipeline.
+
+Two subcommands so training can run on the TPU while evaluation runs on CPU
+(remote jits compile in ~1 min; CPU eval jits compile in seconds):
+
+  python tools/bakeoff.py train --workdir artifacts/bakeoff [--platform tpu]
+  python tools/bakeoff.py eval  --workdir artifacts/bakeoff [--platform cpu]
+
+Artifacts: WORKDIR/ckpt_*.pkl (+ the shared data tree), artifacts/bakeoff.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# model capacity (shared by every config; M must match the I-model's M)
+N, M, EBC = 64, 96, 64
+CROP = 128
+LAMBDAS = [0.0003, 0.001, 0.004, 0.016]  # sweep (without_spm serving model)
+LMB_BAKE = 0.004                          # bake-off rate point
+EVAL_HW = 256                             # GOP eval frames (latent 16×16)
+TILES = [(4, 16), (4, 4), (2, 4)]         # tiled-res eval configs (th, tw)
+CHARM_GROUPS = [4, 8]
+
+
+def _structured_frames(rng, n_frames=7, hw=(CROP, CROP), noise=0.0):
+    """Compressible moving content: gradient background + moving blocks.
+    Noise-free by default — round 2's σ=0.01 sensor noise put an
+    incompressible-rate floor under every λ and kept the sweep pinned at
+    0.6+ bpp."""
+    h, w = hw
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.stack([yy / h, xx / w, (xx + yy) / (h + w)], -1)
+    base = 0.3 + 0.4 * base
+    n_obj = rng.integers(2, 5)
+    objs = []
+    for _ in range(n_obj):
+        objs.append({
+            "pos": rng.uniform(8, min(h, w) - 24, 2),
+            "vel": rng.uniform(-3, 3, 2),
+            "size": rng.integers(10, 36, 2),
+            "color": rng.uniform(0, 1, 3),
+        })
+    frames = []
+    for t in range(n_frames):
+        img = base.copy()
+        for o in objs:
+            y0 = int(np.clip(o["pos"][0] + t * o["vel"][0], 0, h - 1))
+            x0 = int(np.clip(o["pos"][1] + t * o["vel"][1], 0, w - 1))
+            img[y0:y0 + o["size"][0], x0:x0 + o["size"][1]] = o["color"]
+        if noise:
+            img = img + rng.normal(0, noise, img.shape)
+        frames.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    return frames
+
+
+def make_data(root, n_train_seqs=32, n_eval_seqs=2, eval_frames=24):
+    """Vimeo-style train tree + ImageFolder tree + GOP eval dirs (written
+    once under the workdir so the train and eval processes share bytes)."""
+    from PIL import Image
+
+    img_root = os.path.join(root, "images")
+    seq_root = os.path.join(root, "vimeo")
+    eval_root = os.path.join(root, "gop")
+    if os.path.exists(os.path.join(seq_root, "sep_trainlist.txt")):
+        return img_root, seq_root, eval_root
+
+    rng = np.random.default_rng(0)
+    img_train = os.path.join(img_root, "train")
+    os.makedirs(img_train, exist_ok=True)
+    names = []
+    k = 0
+    for i in range(n_train_seqs):
+        frames = _structured_frames(rng)
+        d = os.path.join(seq_root, "sequences", f"{i + 1:05d}", "0001")
+        os.makedirs(d, exist_ok=True)
+        for t, f in enumerate(frames, 1):
+            Image.fromarray(f).save(os.path.join(d, f"im{t}.png"))
+            if t <= 2:
+                Image.fromarray(f).save(os.path.join(img_train,
+                                                     f"img{k:04d}.png"))
+                k += 1
+        names.append(f"{i + 1:05d}/0001")
+    with open(os.path.join(seq_root, "sep_trainlist.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    with open(os.path.join(seq_root, "sep_testlist.txt"), "w") as f:
+        f.write("\n".join(names[:2]) + "\n")
+
+    rng_eval = np.random.default_rng(99)
+    for i in range(n_eval_seqs):
+        d = os.path.join(eval_root, f"seq{i}")
+        os.makedirs(d, exist_ok=True)
+        frames = _structured_frames(rng_eval, n_frames=eval_frames,
+                                    hw=(EVAL_HW, EVAL_HW))
+        for t, f in enumerate(frames, 1):
+            Image.fromarray(f).save(os.path.join(d, f"f{t:05d}.png"))
+    return img_root, seq_root, eval_root
+
+
+def _i_ckpt(workdir, lmbda):
+    return os.path.join(workdir, f"ckpt_i_{lmbda}.pkl")
+
+
+def _p_ckpt(workdir, name):
+    return os.path.join(workdir, f"ckpt_p_{name}.pkl")
+
+
+def _train_i(lmbda, data_img, workdir, steps):
+    import jax.numpy as jnp
+
+    from spatiotemporalentropymodel_tpu.models import MeanScaleHyperprior
+    from spatiotemporalentropymodel_tpu.training.checkpoints import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from spatiotemporalentropymodel_tpu.training.train_image import train_image
+    from spatiotemporalentropymodel_tpu.utils.config import TrainImageConfig
+
+    path = _i_ckpt(workdir, lmbda)
+    i_model = MeanScaleHyperprior(N, M)
+    if os.path.exists(path):
+        i_model.init(jnp.zeros((1, 64, 64, 3)))
+        i_model.load_state_dict(load_checkpoint(path)["model"])
+        return i_model
+    cfg = TrainImageConfig(
+        model="mbt2018-mean", lmbda=lmbda, cropsize=CROP, batch_size=8,
+        data_root=data_img, workdir=os.path.join(workdir, f"i_{lmbda}"),
+        steps_per_epoch=steps, epochs=1, seed=1,
+    )
+    train_image(cfg, max_steps=steps, model=i_model)
+    i_model.update(force=True)
+    save_checkpoint({"model": i_model.state_dict()}, path)
+    return i_model
+
+
+def _train_p(name, module_or_variant, lmbda, i_model, data_vimeo, workdir,
+             steps):
+    import jax
+    import jax.numpy as jnp
+
+    from spatiotemporalentropymodel_tpu.training.checkpoints import (
+        save_checkpoint,
+    )
+    from spatiotemporalentropymodel_tpu.training.train_stem import train_stem
+    from spatiotemporalentropymodel_tpu.utils.config import TrainStemConfig
+
+    path = _p_ckpt(workdir, name)
+    if os.path.exists(path):
+        return
+    del lmbda  # P training is rate-only (EMLoss); λ enters via the I-model
+    cfg = TrainStemConfig(
+        variant=(module_or_variant if isinstance(module_or_variant, str)
+                 else "without_spm"),
+        in_channels=M, entropy_bottleneck_channels=EBC,
+        data_root=data_vimeo, cropsize=CROP, batch_size=4,
+        step_mode="per_sequence", eval_every=max(steps // 3, 1),
+        workdir=os.path.join(workdir, f"p_{name}"), seed=1,
+    )
+    module = None if isinstance(module_or_variant, str) else module_or_variant
+    state, _ = train_stem(cfg, max_steps=steps, i_model=i_model,
+                          module=module)
+    params = jax.device_get(state.params)
+    save_checkpoint({"params": params}, path)
+    print(f"trained {name}", flush=True)
+    del jnp
+
+
+def cmd_train(args):
+    workdir = os.path.abspath(args.workdir)
+    os.makedirs(workdir, exist_ok=True)
+    data_img, data_vimeo, _ = make_data(os.path.join(workdir, "data"))
+
+    from spatiotemporalentropymodel_tpu.models.charm import (
+        ChannelARSTEMModule,
+    )
+
+    for lmbda in LAMBDAS:
+        i_model = _train_i(lmbda, data_img, workdir, args.i_steps)
+        print(f"I-model λ={lmbda} ready", flush=True)
+        _train_p(f"without_spm_{lmbda}", "without_spm", lmbda, i_model,
+                 data_vimeo, workdir, args.p_steps)
+
+    i_bake = _train_i(LMB_BAKE, data_img, workdir, args.i_steps)
+    _train_p(f"res_{LMB_BAKE}", "res", LMB_BAKE, i_bake, data_vimeo, workdir,
+             args.p_steps)
+    for g in CHARM_GROUPS:
+        _train_p(
+            f"charm{g}_{LMB_BAKE}",
+            ChannelARSTEMModule(g, EBC, M, residual=True, lrp=True),
+            LMB_BAKE, i_bake, data_vimeo, workdir, args.p_steps,
+        )
+    print("training complete", flush=True)
+
+
+def _load_i(workdir, lmbda):
+    import jax.numpy as jnp
+
+    from spatiotemporalentropymodel_tpu.models import MeanScaleHyperprior
+    from spatiotemporalentropymodel_tpu.training.checkpoints import (
+        load_checkpoint,
+    )
+
+    i_model = MeanScaleHyperprior(N, M)
+    i_model.init(jnp.zeros((1, 64, 64, 3)))
+    i_model.load_state_dict(load_checkpoint(_i_ckpt(workdir, lmbda))["model"])
+    i_model.update(force=True)
+    return i_model
+
+
+def _load_p(workdir, name, ctor):
+    import jax.numpy as jnp
+
+    from spatiotemporalentropymodel_tpu.training.checkpoints import (
+        load_checkpoint,
+    )
+
+    stem = ctor()
+    d = jnp.zeros((1, 4, 4, M))
+    stem.init(d, d)
+    import jax
+
+    stem.params = jax.tree_util.tree_map(
+        jnp.asarray, load_checkpoint(_p_ckpt(workdir, name))["params"]
+    )
+    stem.update(force=True)
+    return stem
+
+
+def _eval_cfg(i_model, stem, data_gop, gop=12):
+    from spatiotemporalentropymodel_tpu.data import GOPDataset
+    from spatiotemporalentropymodel_tpu.eval.eval_stem import eval_dataset
+
+    res = eval_dataset(i_model, stem, GOPDataset(data_gop, gop_size=gop),
+                       compute_msssim=False, report_estimated_bpp=True)
+    avg = res["average"]
+    return {"bpp": avg["bpp"], "psnr": avg["psnr"],
+            "bpp_est": avg["bpp_est"]}
+
+
+def cmd_eval(args):
+    workdir = os.path.abspath(args.workdir)
+    _, _, data_gop = make_data(os.path.join(workdir, "data"))
+
+    from spatiotemporalentropymodel_tpu.models import (
+        SpatioTemporalPriorModel,
+        SpatioTemporalPriorModelChannelAR,
+    )
+
+    out = {"sweep": [], "bakeoff": {}}
+
+    for lmbda in LAMBDAS:
+        name = f"without_spm_{lmbda}"
+        if not os.path.exists(_p_ckpt(workdir, name)):
+            print(f"skip {name} (not trained)", flush=True)
+            continue
+        i_model = _load_i(workdir, lmbda)
+        stem = _load_p(workdir, name, lambda: SpatioTemporalPriorModel(
+            variant="without_spm", entropy_bottleneck_channels=EBC,
+            in_channels=M))
+        pt = {"lmbda": lmbda} | _eval_cfg(i_model, stem, data_gop)
+        out["sweep"].append(pt)
+        print("sweep point:", pt, flush=True)
+
+    i_bake = _load_i(workdir, LMB_BAKE)
+
+    def stem_res(tile=None):
+        return _load_p(workdir, f"res_{LMB_BAKE}",
+                       lambda: SpatioTemporalPriorModel(
+                           variant="res", entropy_bottleneck_channels=EBC,
+                           in_channels=M, wavefront_tile=tile))
+
+    if os.path.exists(_p_ckpt(workdir, f"res_{LMB_BAKE}")):
+        out["bakeoff"]["res"] = _eval_cfg(i_bake, stem_res(), data_gop)
+        print("bakeoff res:", out["bakeoff"]["res"], flush=True)
+        for tile in TILES:
+            key = f"res_tiled_{tile[0]}x{tile[1]}"
+            out["bakeoff"][key] = _eval_cfg(i_bake, stem_res(tile), data_gop)
+            print(f"bakeoff {key}:", out["bakeoff"][key], flush=True)
+    for g in CHARM_GROUPS:
+        name = f"charm{g}_{LMB_BAKE}"
+        if not os.path.exists(_p_ckpt(workdir, name)):
+            continue
+        stem = _load_p(workdir, name,
+                       lambda: SpatioTemporalPriorModelChannelAR(
+                           groups=g, entropy_bottleneck_channels=EBC,
+                           in_channels=M, lrp=True))
+        out["bakeoff"][f"charm_g{g}"] = _eval_cfg(i_bake, stem, data_gop)
+        print(f"bakeoff charm_g{g}:", out["bakeoff"][f"charm_g{g}"],
+              flush=True)
+    name = f"without_spm_{LMB_BAKE}"
+    if os.path.exists(_p_ckpt(workdir, name)):
+        stem = _load_p(workdir, name, lambda: SpatioTemporalPriorModel(
+            variant="without_spm", entropy_bottleneck_channels=EBC,
+            in_channels=M))
+        out["bakeoff"]["without_spm"] = _eval_cfg(i_bake, stem, data_gop)
+        print("bakeoff without_spm:", out["bakeoff"]["without_spm"],
+              flush=True)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    path = os.path.join(args.out_dir, "bakeoff.json")
+    with open(path, "w") as f:
+        json.dump({
+            "config": {"N": N, "M": M, "EBC": EBC, "crop": CROP,
+                       "eval_hw": EVAL_HW, "gop": 12,
+                       "i_steps": args.i_steps, "p_steps": args.p_steps,
+                       "lambda_bakeoff": LMB_BAKE},
+            "results": out,
+        }, f, indent=2)
+    print("wrote", path, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for cname, fn in (("train", cmd_train), ("eval", cmd_eval)):
+        p = sub.add_parser(cname)
+        p.add_argument("--workdir", default="artifacts/bakeoff")
+        p.add_argument("--i-steps", type=int, default=3000)
+        p.add_argument("--p-steps", type=int, default=1500)
+        p.add_argument("--out-dir", default="artifacts")
+        p.add_argument("--platform", default=None,
+                       choices=(None, "cpu", "tpu"))
+        p.add_argument("--lambdas", type=float, nargs="+", default=None,
+                       help="override the λ sweep grid (smoke tests)")
+        p.add_argument("--charm-groups", type=int, nargs="+", default=None)
+        p.set_defaults(fn=fn)
+    args = ap.parse_args()
+
+    global LAMBDAS, LMB_BAKE, CHARM_GROUPS
+    if args.lambdas:
+        LAMBDAS = list(args.lambdas)
+        LMB_BAKE = LAMBDAS[-1]
+    if args.charm_groups:
+        CHARM_GROUPS = list(args.charm_groups)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
