@@ -93,7 +93,8 @@ def eval_sequence(
             t0 = time.time()
             x_hat, y_hat = pipeline.decode_frame(enc, y_cond=y_conditioned)
             dec_t = time.time() - t0
-            bpp = actual_bpp(enc["strings"], num_pixels)
+            bpp = actual_bpp(enc["strings"], num_pixels,
+                             counts=enc.get("counts"))
             sums["enc_time"] += enc_t
             sums["dec_time"] += dec_t
             y_conditioned = y_hat
@@ -129,7 +130,8 @@ def eval_sequence(
                                       y_conditioned, **kw)
                 dec_t = time.time() - t0
                 y_hat = dec["y_hat"]
-                bpp = actual_bpp(enc["strings"], num_pixels)
+                bpp = actual_bpp(enc["strings"], num_pixels,
+                                 counts=enc.get("counts"))
                 sums["enc_time"] += enc_t
                 sums["dec_time"] += dec_t
             y_conditioned = y_hat

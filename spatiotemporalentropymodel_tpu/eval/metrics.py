@@ -131,12 +131,24 @@ def estimate_bpp(likelihoods, num_pixels: int):
     return total / (-math.log(2) * num_pixels)
 
 
-def actual_bpp(strings, num_pixels: int) -> float:
-    """Actual bits-per-pixel from bitstream lengths (evalSTEM.py:131-132)."""
-    nbytes = 0
-    for group in strings:
-        if isinstance(group, (list, tuple)):
-            nbytes += sum(len(s) for s in group)
-        else:
-            nbytes += len(group)
+def _stream_bytes(strings) -> int:
+    if isinstance(strings, (list, tuple)):
+        return sum(_stream_bytes(s) for s in strings)
+    return len(strings)
+
+
+def actual_bpp(strings, num_pixels: int, counts=None) -> float:
+    """Actual bits-per-pixel from bitstream lengths (evalSTEM.py:131-132).
+
+    Recurses through arbitrarily nested string lists (charm emits
+    per-batch *per-group* streams, one level deeper than the reference's
+    ``[y_strings, z_strings]``). ``counts`` — the per-group CDF-row counts
+    some models ship as container side-info — is charged at its ``.stemv``
+    wire cost (u16 size + u32 each, eval/video_codec.py::_write_frame) so
+    the reported rate is what the file format actually pays."""
+    nbytes = _stream_bytes(strings)
+    if counts is not None:
+        import numpy as np
+
+        nbytes += 2 + 4 * int(np.asarray(counts).size)
     return nbytes * 8.0 / num_pixels

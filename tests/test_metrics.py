@@ -153,3 +153,16 @@ class TestBpp:
     def test_actual(self):
         strings = [[b"abcd"], [b"ef"]]
         assert actual_bpp(strings, 48) == 1.0
+
+    def test_actual_nested_groups(self):
+        # charm layout: per-batch *per-group* y streams, one level deeper —
+        # a shallow len() would count the group list length (regression for
+        # the bake-off undercount)
+        strings = [[[b"abc", b"d"]], [b"ef"]]
+        assert actual_bpp(strings, 48) == 1.0
+
+    def test_actual_counts_side_info(self):
+        # counts ride the container at u16 size + u32 each
+        # (video_codec._write_frame): 2 + 4*3 = 14 bytes
+        assert actual_bpp([[b""], [b""]], 8,
+                          counts=np.zeros((1, 1, 3))) == 14.0
