@@ -144,11 +144,14 @@ def actual_bpp(strings, num_pixels: int, counts=None) -> float:
     per-batch *per-group* streams, one level deeper than the reference's
     ``[y_strings, z_strings]``). ``counts`` — the per-group CDF-row counts
     some models ship as container side-info — is charged at its ``.stemv``
-    wire cost (u16 size + u32 each, eval/video_codec.py::_write_frame) so
-    the reported rate is what the file format actually pays."""
+    v4 wire cost (varint-packed used rows, entropy/transport.pack_counts)
+    so the reported rate is what the file format actually pays."""
     nbytes = _stream_bytes(strings)
     if counts is not None:
         import numpy as np
 
-        nbytes += 2 + 4 * int(np.asarray(counts).size)
+        from ..entropy.transport import pack_counts
+
+        c = np.asarray(counts)
+        nbytes += len(pack_counts(c.reshape(-1, c.shape[-1])))
     return nbytes * 8.0 / num_pixels

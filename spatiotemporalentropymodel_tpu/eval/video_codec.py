@@ -16,7 +16,7 @@ model families:
   family 2  channel-autoregressive charm (models/charm.py) — group count and
             lrp/residual flags ride the header
 
-Container format v3 (big-endian, mirroring codec.py's conventions):
+Container format v4 (big-endian, mirroring codec.py's conventions):
 
   magic  b"STMV", u8 version
   u8 i_model_id, u8 i_quality
@@ -33,8 +33,8 @@ Container format v3 (big-endian, mirroring codec.py's conventions):
     u8 ftype            0 = I, 1 = P sparse, 2 = P dense (int8 overflow),
                         3 = P wavefront, 4 = P charm sparse, 5 = P charm dense
     u16 zh, u16 zw      hyper-latent spatial shape
-    ftype 1: u16 levels, levels × u32 CDF-row counts
-    ftype 4: u16 groups·levels, groups·levels × u32 counts
+    ftype 1: varint-packed CDF-row counts (1 vector; transport.pack_counts)
+    ftype 4: varint-packed counts (groups vectors)
     then n_strings × (u32 len, bytes): 2 for ftypes 0-3 (y, z),
     groups+1 for ftypes 4-5 (y per group, then z)
 
@@ -60,7 +60,7 @@ from ..ops.padding import pad_centered
 from .codec import _load_image, _read_uints, _write_uints
 
 MAGIC = b"STMV"
-VERSION = 3
+VERSION = 4
 UNSPECIFIED = 0xFF  # model ids for API users who pass models directly
 
 FAMILY_PARALLEL, FAMILY_WAVEFRONT, FAMILY_CHARM = 0, 1, 2
@@ -99,9 +99,9 @@ def read_header(f):
     (version,) = struct.unpack(">B", f.read(1))
     if version != VERSION:
         raise ValueError(
-            f"unsupported .stemv version {version} (this build reads v3; "
-            "v2 predates the run-based stream format and has no decoder "
-            "in this revision)"
+            f"unsupported .stemv version {version} (this build reads v4; "
+            "v3 shipped raw u32 count vectors and v2 predates the run-based "
+            "stream format — neither has a decoder in this revision)"
         )
     i_id, i_q, family, sv_id, s_ch, m_ch, cfg0, cfg1 = struct.unpack(
         ">4B2H2B", f.read(10)
@@ -118,11 +118,15 @@ def read_header(f):
 
 
 def _write_frame(f, ftype, shape, strings, counts=None):
+    from ..entropy.transport import pack_counts
+
     f.write(struct.pack(">B2H", ftype, *shape))
     if ftype in (FTYPE_P_SPARSE, FTYPE_P_CHARM):
-        counts = np.asarray(counts, np.uint32).reshape(-1)
-        f.write(struct.pack(">H", counts.size))
-        f.write(struct.pack(f">{counts.size}I", *counts.tolist()))
+        # v4: varint-packed used rows only (~4x smaller than v3's raw u32s;
+        # a trained model touches ~20-30 of the 64 scale-table rows)
+        c = np.asarray(counts)
+        f.write(pack_counts(c.reshape(-1, c.shape[-1]) if c.ndim > 1
+                            else c[None]))
     if ftype in (FTYPE_P_CHARM, FTYPE_P_CHARM_DENSE):
         flat = list(strings[0][0]) + [strings[1][0]]  # y per group, then z
     else:
@@ -133,13 +137,12 @@ def _write_frame(f, ftype, shape, strings, counts=None):
 
 
 def _read_frame(f, groups: int = 0):
+    from ..entropy.transport import unpack_counts
+
     ftype, zh, zw = struct.unpack(">B2H", f.read(5))
     counts = None
     if ftype in (FTYPE_P_SPARSE, FTYPE_P_CHARM):
-        (levels,) = struct.unpack(">H", f.read(2))
-        counts = np.asarray(
-            struct.unpack(f">{levels}I", f.read(4 * levels)), np.int32
-        )
+        counts = unpack_counts(f).reshape(-1)  # flat, caller reshapes
     n_strings = groups + 1 if ftype in (FTYPE_P_CHARM,
                                         FTYPE_P_CHARM_DENSE) else 2
     flat = []

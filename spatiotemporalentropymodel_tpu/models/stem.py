@@ -24,6 +24,7 @@ All NHWC; inputs are latents (B, H, W, M) with M=192, EB channels 256 by
 default. Training noise via the "noise" RNG stream.
 """
 
+import time
 from typing import Any, Dict
 
 import flax.linen as nn
@@ -233,6 +234,11 @@ class SpatioTemporalPriorModel(CompressionModel):
             tuple(int(v) for v in wavefront_tile) if wavefront_tile else None
         )
         self._wavefront_cache = {}
+        # optional observability hook (training/logging.py StageTimer's codec
+        # cousin): set to a dict and the wavefront codec paths accumulate
+        # {"host_rans_s", "device_s", "rounds"} — bench.py's PCIe projection
+        # splits host-coder from device+fetch cost with it
+        self._codec_stats = None
 
     def _cast(self, x):
         if self.compute_dtype is not None:
@@ -644,6 +650,8 @@ class SpatioTemporalPriorModel(CompressionModel):
             target = wf.tile_plane(target, th, tw)
             priors = wf.tile_plane(priors, th, tw)
         coords, valid, encoder, *_ = self._wavefront_setup(th, tw)
+        st = self._codec_stats
+        t0 = time.perf_counter() if st is not None else 0.0
         syms, idxs, _ = encoder(target, priors, coords, valid)
 
         if nt > 1:
@@ -652,6 +660,9 @@ class SpatioTemporalPriorModel(CompressionModel):
         else:  # identical order, one vectorized gather instead of T loops
             sym_flat = wf.flatten_wavefront(syms, coords, valid)
             idx_flat = wf.flatten_wavefront(idxs, coords, valid)
+        if st is not None:  # flatten fetches → blocks on the encoder scan
+            t1 = time.perf_counter()
+            st["enc_device_s"] = st.get("enc_device_s", 0.0) + (t1 - t0)
         t = self.tables["gaussian_conditional"]
         y_strings = [
             self.coder.encode_with_indexes(
@@ -659,6 +670,9 @@ class SpatioTemporalPriorModel(CompressionModel):
             )
             for i in range(b)
         ]
+        if st is not None:
+            st["enc_host_s"] = (st.get("enc_host_s", 0.0)
+                                + time.perf_counter() - t1)
         return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
 
     def _decompress_wavefront(self, strings, z_hat, y_conditioned):
@@ -685,17 +699,26 @@ class SpatioTemporalPriorModel(CompressionModel):
         # tile the grid), so the fused write(t)+params(t+1) dispatch applies
         # uniformly: ONE dispatch + one u8 idx fetch per wavefront; with
         # tiling, all nt tiles decode inside the same round
+        st = self._codec_stats
         means, idx = params_step(target_pad, priors, coords[0])
         for ti in range(T):
             v = valid_np[ti]
             n_valid = int(v.sum())
+            t0 = time.perf_counter() if st is not None else 0.0
             idx_np = np.asarray(idx, np.int32).reshape(b, nt, L, m)
+            if st is not None:  # np.asarray above blocks on the device round
+                t1 = time.perf_counter()
+                st["device_s"] = st.get("device_s", 0.0) + (t1 - t0)
             sym = np.zeros((b, nt, L, m), np.int32)
             for i in range(b):
                 decoded = decoders[i].decode(
                     idx_np[i][:, v].reshape(-1), t.cdf, t.cdf_length, t.offset
                 )
                 sym[i][:, v] = decoded.reshape(nt, n_valid, m)
+            if st is not None:
+                st["host_rans_s"] = (st.get("host_rans_s", 0.0)
+                                     + time.perf_counter() - t1)
+                st["rounds"] = st.get("rounds", 0) + 1
             sym_dev = jnp.asarray(sym.reshape(b * nt, L, m))
             if ti + 1 < T:
                 target_pad, means, idx = fused_step(

@@ -162,7 +162,18 @@ class TestBpp:
         assert actual_bpp(strings, 48) == 1.0
 
     def test_actual_counts_side_info(self):
-        # counts ride the container at u16 size + u32 each
-        # (video_codec._write_frame): 2 + 4*3 = 14 bytes
+        # counts ride the container varint-packed (transport.pack_counts):
+        # 2-byte header + 1 byte n_used per all-zero vector = 3 bytes
         assert actual_bpp([[b""], [b""]], 8,
-                          counts=np.zeros((1, 1, 3))) == 14.0
+                          counts=np.zeros((1, 1, 3))) == 3.0
+
+    def test_actual_counts_matches_container(self):
+        from spatiotemporalentropymodel_tpu.entropy.transport import (
+            pack_counts,
+        )
+
+        counts = np.zeros((2, 64), np.int64)
+        counts[0, [3, 10, 63]] = [1, 300, 2**20]
+        counts[1, 5] = 70000
+        want = len(pack_counts(counts))
+        assert actual_bpp([[b""], [b""]], 1, counts=counts) == want * 8

@@ -73,3 +73,32 @@ def test_sparse_capacity_formula():
     explicit = transport.SparseLayout(b=1, n=192, zn=8, levels=4,
                                       cap_value=48)
     assert explicit.cap == 48
+
+
+class TestPackCounts:
+    """Varint counts wire format (.stemv v4 side-info)."""
+
+    def test_roundtrip(self):
+        import io
+
+        rng = np.random.default_rng(3)
+        counts = np.zeros((4, 64), np.int64)
+        for i in range(4):
+            rows = rng.choice(64, size=rng.integers(0, 30), replace=False)
+            counts[i, rows] = rng.integers(1, 2**22, rows.size)
+        blob = transport.pack_counts(counts)
+        out = transport.unpack_counts(io.BytesIO(blob))
+        np.testing.assert_array_equal(out, counts)
+
+    def test_smaller_than_raw_u32(self):
+        counts = np.zeros((4, 64), np.int64)
+        counts[:, 10:35] = 5000  # 25 used rows/group, typical trained model
+        assert len(transport.pack_counts(counts)) < 4 * 64 * 4 / 3
+
+    def test_extra_bytes_untouched(self):
+        import io
+
+        f = io.BytesIO(transport.pack_counts(np.array([[0, 7, 0]])) + b"xyz")
+        np.testing.assert_array_equal(transport.unpack_counts(f),
+                                      [[0, 7, 0]])
+        assert f.read() == b"xyz"
