@@ -21,7 +21,7 @@ from typing import Dict, List, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .metrics import ms_ssim, psnr
+from .metrics import ms_ssim_or_nan, psnr
 
 
 def _load(path) -> np.ndarray:
@@ -37,7 +37,7 @@ def _metrics(ref: np.ndarray, rec: np.ndarray, nbytes: int) -> Dict[str, float]:
     num_pixels = ref.shape[0] * ref.shape[1]
     return {
         "psnr": float(psnr(a, b)),
-        "ms-ssim": float(ms_ssim(a, b)),
+        "ms-ssim": ms_ssim_or_nan(a, b),
         "bpp": nbytes * 8.0 / num_pixels,
     }
 

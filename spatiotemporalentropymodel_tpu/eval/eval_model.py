@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.padding import crop_centered, pad_centered
-from .metrics import actual_bpp, estimate_bpp, ms_ssim, psnr
+from .metrics import actual_bpp, estimate_bpp, ms_ssim_or_nan, psnr
 
 IMG_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm")
 
@@ -60,7 +60,7 @@ def eval_image(model, x, entropy_estimation: bool = False) -> Dict[str, float]:
     x_hat = crop_centered(jnp.asarray(x_hat), pads)
     return {
         "psnr": float(psnr(x, x_hat)),
-        "ms-ssim": float(ms_ssim(x, x_hat)),
+        "ms-ssim": ms_ssim_or_nan(x, x_hat),
         "bpp": bpp,
         "encoding_time": enc_t,
         "decoding_time": dec_t,

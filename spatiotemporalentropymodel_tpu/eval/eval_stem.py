@@ -19,7 +19,7 @@ import numpy as np
 
 from ..data.gop import GOPSequence
 from ..ops.padding import crop_centered, pad_centered
-from .metrics import actual_bpp, estimate_bpp, ms_ssim, psnr
+from .metrics import actual_bpp, estimate_bpp, ms_ssim_or_nan, psnr
 
 
 def _pad64(x):
@@ -139,7 +139,7 @@ def eval_sequence(
 
         x_hat = crop_centered(jnp.asarray(x_hat), pads)
         p = float(psnr(x, x_hat))
-        m = float(ms_ssim(x, x_hat)) if compute_msssim else float("nan")
+        m = ms_ssim_or_nan(x, x_hat) if compute_msssim else float("nan")
         sums["psnr"] += p
         sums["ms_ssim"] += 0.0 if math.isnan(m) else m
         sums["bpp"] += bpp

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..data.qmap import gradient_qmap, uniform_qmap
 from ..ops.padding import crop_centered, pad_centered
-from .metrics import actual_bpp, estimate_bpp, ms_ssim, psnr
+from .metrics import actual_bpp, estimate_bpp, ms_ssim_or_nan, psnr
 
 DEFAULT_LEVELS = [0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100]
 RC_LEVELS = [0.30, 0.45, 0.55, 0.70]
@@ -57,7 +57,7 @@ def inference_i(model_i, x, qmap, entropy_estimation=False) -> Dict:
     return {
         "x_hat": x_hat,  # padded reconstruction carries to the next frame
         "psnr": float(psnr(jnp.asarray(x), x_hat_c)),
-        "ms-ssim": float(ms_ssim(jnp.asarray(x), x_hat_c)),
+        "ms-ssim": ms_ssim_or_nan(jnp.asarray(x), x_hat_c),
         "bpp": bpp,
         "estimate_bpp": bpp_est,
         "encoding_time": enc_t,
@@ -88,7 +88,7 @@ def inference_p(model_p, x, x_conditioned, qmap,
     return {
         "x_hat": x_hat,
         "psnr": float(psnr(jnp.asarray(x), x_hat_c)),
-        "ms-ssim": float(ms_ssim(jnp.asarray(x), x_hat_c)),
+        "ms-ssim": ms_ssim_or_nan(jnp.asarray(x), x_hat_c),
         "bpp": bpp,
         "estimate_bpp": bpp_est,
         "encoding_time": enc_t,
@@ -172,7 +172,7 @@ def inference_p_baseline(model_p, x, x_conditioned,
     return {
         "x_hat": x_hat,
         "psnr": float(psnr(jnp.asarray(x), x_hat_c)),
-        "ms-ssim": float(ms_ssim(jnp.asarray(x), x_hat_c)),
+        "ms-ssim": ms_ssim_or_nan(jnp.asarray(x), x_hat_c),
         "bpp": bpp,
         "estimate_bpp": bpp_est,
     }
@@ -204,7 +204,7 @@ def eval_baseline_sequence(model_i, model_p, sequence,
             out = {
                 "x_hat": x_hat,
                 "psnr": float(psnr(jnp.asarray(x), x_hat_c)),
-                "ms-ssim": float(ms_ssim(jnp.asarray(x), x_hat_c)),
+                "ms-ssim": ms_ssim_or_nan(jnp.asarray(x), x_hat_c),
                 "bpp": bpp,
                 "estimate_bpp": bpp_est,
             }

@@ -123,6 +123,19 @@ def ms_ssim(a, b, max_val: float = 1.0, kernel_size: int = 11,
     return jnp.mean(per_bc)
 
 
+def ms_ssim_or_nan(a, b, **kw) -> float:
+    """``ms_ssim`` when the input meets the 5-scale size contract, else NaN.
+
+    The eval tools call this on whole frames: real eval content (≥256px)
+    always satisfies the contract — pytorch_msssim, the reference's metric
+    package (stem/evalSTEM.py:16), refuses smaller inputs outright — but
+    tiny-frame test runs degrade to NaN instead of aborting the sweep."""
+    try:
+        return float(ms_ssim(a, b, **kw))
+    except ValueError:
+        return float("nan")
+
+
 def estimate_bpp(likelihoods, num_pixels: int):
     """Estimated bits-per-pixel from model likelihoods (evalSTEM.py:133-136)."""
     total = 0.0

@@ -54,13 +54,63 @@ class Conv(nn.Module):
         return out
 
 
+# Optional lowering: input-dilated deconvs as s² phase sub-convolutions +
+# pixel shuffle — an exact weight rearrangement into one dense stride-1 conv.
+# Hypothesis was that the lhs_dilation lowering wastes MXU work convolving a
+# mostly-zeros dilated input; MEASURED on the v5e (1080p g_s stack, b=4,
+# /tmp/deconv_ab.log 2026-08-17): sub-pixel 72.3 ms vs lhs_dilation 66.9 ms —
+# XLA's native lowering already skips the zeros, and the extra pixel-shuffle
+# relayout loses 8%. Default off; kept as an A/B lever (TestFastDeconv pins
+# the two lowerings elementwise-equal).
+FAST_DECONV = False
+
+
+def _subpixel_kernel(kernel, k: int, s: int):
+    """Rearrange a (k, k, in, out) deconv kernel into the equivalent
+    (R, R, in, out·s²) stride-1 conv kernel + padding, R = ceil(k/s).
+
+    For output phase a ∈ [0, s): the dilated conv's taps are
+    u ≡ (pad_lo − a) (mod s), hitting x[i + base_a + j] with
+    base_a = (a + ((pad_lo − a) mod s) − pad_lo)/s. Sub-kernels are padded
+    to a common R×R grid; output channels are laid out o·s² + a·s + b so
+    ``pixel_shuffle`` reassembles y[s·i + a, s·j + b]."""
+    p = k // 2
+    pad_lo = k - 1 - p
+    in_ch, out_ch = kernel.shape[2], kernel.shape[3]
+    R = -(-k // s)
+
+    def taps(a):
+        off = (pad_lo - a) % s
+        base = (a + off - pad_lo) // s
+        return base, list(range(off, k, s))
+
+    base_min = min(taps(a)[0] for a in range(s))
+    sub = jnp.zeros((R, R, in_ch, out_ch, s * s), kernel.dtype)
+    for a in range(s):
+        base_a, us = taps(a)
+        for b in range(s):
+            base_b, vs = taps(b)
+            for j, u in enumerate(us):
+                for i2, v in enumerate(vs):
+                    sub = sub.at[
+                        base_a + j - base_min, base_b + i2 - base_min,
+                        :, :, a * s + b,
+                    ].set(kernel[u, v])
+    sub = sub.reshape(R, R, in_ch, out_ch * s * s)
+    pl = -base_min
+    return sub, R, pl, R - 1 - pl
+
+
 class Deconv(nn.Module):
     """Transposed conv matching ConvTranspose2d(k, s, padding=k//2,
     output_padding=s-1): output spatial size is exactly ``s * H``.
 
-    Implemented as conv_general_dilated with lhs_dilation=s and padding
-    (k-1-p, k-1-p+op). The kernel param is the flipped torch weight, laid out
-    (kh, kw, in, out).
+    The kernel param is the flipped torch weight, laid out (kh, kw, in,
+    out). Two equivalent lowerings: conv_general_dilated with
+    lhs_dilation=s (the definitional form), or — when ``FAST_DECONV`` —
+    the sub-pixel decomposition (see ``_subpixel_kernel``), which is the
+    same arithmetic re-tiled for the MXU (within float summation-order
+    noise; the element-exact-vs-torch layer tests pass either way).
     """
 
     features: int
@@ -78,16 +128,29 @@ class Deconv(nn.Module):
         kernel = self.param(
             "kernel", kaiming_normal, (k, k, in_ch, self.features), jnp.float32
         )
-        pad_lo = k - 1 - p
-        pad_hi = k - 1 - p + op
-        out = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(x.dtype),
-            window_strides=(1, 1),
-            padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
-            lhs_dilation=(s, s),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        # odd k only: even kernels have (s·H − 1) output geometry that the
+        # phase grid doesn't tile (no even-k deconv exists in the zoo)
+        if FAST_DECONV and s > 1 and k % 2 == 1:
+            sub, R, pl, ph = _subpixel_kernel(kernel, k, s)
+            out = jax.lax.conv_general_dilated(
+                x,
+                sub.astype(x.dtype),
+                window_strides=(1, 1),
+                padding=((pl, ph), (pl, ph)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out = pixel_shuffle(out, s)
+        else:
+            pad_lo = k - 1 - p
+            pad_hi = k - 1 - p + op
+            out = jax.lax.conv_general_dilated(
+                x,
+                kernel.astype(x.dtype),
+                window_strides=(1, 1),
+                padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+                lhs_dilation=(s, s),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             out = out + bias.astype(out.dtype)

@@ -182,3 +182,42 @@ class TestBlocks:
         m2 = SFTResblk(16, 64)
         params2 = m2.init(rng, x, qmap)
         assert m2.apply(params2, x, qmap).shape == x.shape
+
+
+class TestFastDeconv:
+    """The sub-pixel decomposition is the same arithmetic as the
+    lhs_dilation lowering (layers/conv.py::_subpixel_kernel)."""
+
+    @pytest.mark.parametrize("k,s,hw", [(5, 2, (9, 12)), (3, 2, (8, 8)),
+                                        (5, 4, (8, 8))])
+    def test_lowerings_agree(self, k, s, hw):
+        import importlib
+
+        # (layers/__init__ re-exports the `conv` helper function under the
+        # same name as the module)
+        convmod = importlib.import_module(
+            "spatiotemporalentropymodel_tpu.layers.conv")
+
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, *hw, 3)).astype(np.float32))
+        m = Deconv(4, k, s)
+        params = m.init(jax.random.PRNGKey(1), x)
+        old = convmod.FAST_DECONV
+        try:
+            convmod.FAST_DECONV = True
+            fast = m.apply(params, x)
+            convmod.FAST_DECONV = False
+            ref = m.apply(params, x)
+        finally:
+            convmod.FAST_DECONV = old
+        assert fast.shape == ref.shape == (2, s * hw[0], s * hw[1], 4)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_even_kernel_falls_back(self):
+        # k=4 deconvs have (s·H − 1) geometry — the fast path must not
+        # engage (layers/conv.py odd-k guard)
+        x = jnp.zeros((1, 6, 10, 3))
+        m = Deconv(4, 4, 2)
+        params = m.init(jax.random.PRNGKey(1), x)
+        assert m.apply(params, x).shape == (1, 11, 19, 4)

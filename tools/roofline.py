@@ -29,6 +29,34 @@ PEAK_F32_TFLOPS = 49.0
 PEAK_HBM_GBS = 819.0
 
 
+def _conv_flops(h, w, cin, cout, k):
+    return h * w * cin * cout * k * k * 2
+
+
+def _gdn_flops(h, w, c):
+    return h * w * c * c * 2  # the channel matmul dominates
+
+
+def analytic_flops(batch: int) -> dict:
+    """Per-stage FLOPs from the architecture itself (N=M=192 at 1080p).
+
+    XLA's ``cost_analysis`` does NOT count convolution custom-calls inside
+    the scanned program (g_a measured 165 GF for b=4 where the L2 conv
+    alone is 241 GF/frame) — the round-2 "7% MFU" conclusion was an
+    artifact of that undercount. Transposed convs are counted at their
+    useful MACs (Hin·Win·k²·Cin·Cout), identical for either lowering."""
+    ga = (_conv_flops(544, 960, 3, 192, 5) + _gdn_flops(544, 960, 192)
+          + _conv_flops(272, 480, 192, 192, 5) + _gdn_flops(272, 480, 192)
+          + _conv_flops(136, 240, 192, 192, 5) + _gdn_flops(136, 240, 192)
+          + _conv_flops(68, 120, 192, 192, 5))
+    gs = (_conv_flops(68, 120, 192, 192, 5) + _gdn_flops(136, 240, 192)
+          + _conv_flops(136, 240, 192, 192, 5) + _gdn_flops(272, 480, 192)
+          + _conv_flops(272, 480, 192, 192, 5) + _gdn_flops(544, 960, 192)
+          + _conv_flops(544, 960, 192, 3, 5))
+    return {"g_a": batch * ga, "g_s": batch * gs,
+            "full_P_chain": batch * (ga + gs)}  # + entropy stages (XLA)
+
+
 def _cost(compiled):
     try:
         c = compiled.cost_analysis()
@@ -54,7 +82,7 @@ def measure(name, fn, x0, iters, reps=3):
             # the carry so XLA cannot dead-code or hoist the stage
             flat = sum(jnp.mean(jnp.asarray(v, jnp.float32))
                        for v in jax.tree_util.tree_leaves(y))
-            return carry + 1e-20 * flat, flat
+            return (carry + (1e-20 * flat).astype(carry.dtype)), flat
 
         _, outs = jax.lax.scan(body, x, None, length=iters)
         return outs
@@ -170,6 +198,7 @@ def main():
 
         print(f"--- dtype {dname} (batch {b}, per-frame numbers = /batch)",
               flush=True)
+        aflops = analytic_flops(b)
         for name, fn, inp in (
             ("g_a", ga, xc),
             ("HE", he, yc),
@@ -181,6 +210,27 @@ def main():
             row = measure(f"{name}[{dname}]", fn, inp, args.iters)
             row["dtype"] = dname
             row["per_frame_ms"] = round(row["ms"] / b, 3)
+            if name in aflops:  # replace XLA's conv-blind count
+                fl = aflops[name]
+                if name == "full_P_chain":  # + XLA-counted entropy stages
+                    fl += sum(r["gflop"] for r in rows
+                              if r["dtype"] == dname and r["name"].split("[")[0]
+                              in ("HE", "HD+TPM+EPM", "quantize+index")) * 1e9
+                tflops = fl / (row["ms"] * 1e-3) / 1e12
+                row["gflop_xla"] = row["gflop"]
+                row["gflop"] = round(fl / 1e9, 2)
+                row["achieved_tflops"] = round(tflops, 2)
+                row["pct_f32_peak"] = round(100 * tflops / PEAK_F32_TFLOPS, 1)
+                row["pct_bf16_peak"] = round(
+                    100 * tflops / PEAK_BF16_TFLOPS, 1)
+                row["flops_source"] = "analytic"
+                t_cmp = fl / (PEAK_F32_TFLOPS * 1e12)
+                row["lb_ms_mxu_f32"] = round(1e3 * t_cmp, 3)
+                row["bound"] = ("hbm" if row["lb_ms_hbm"] / 1e3 > t_cmp
+                                else "mxu")
+                print(f"  ^ analytic: {row['gflop']} GF -> "
+                      f"{tflops:.1f} TF/s ({row['pct_f32_peak']}% f32 / "
+                      f"{row['pct_bf16_peak']}% bf16 peak)", flush=True)
             rows.append(row)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
