@@ -54,15 +54,17 @@ class Conv(nn.Module):
         return out
 
 
-# Optional lowering: input-dilated deconvs as s² phase sub-convolutions +
-# pixel shuffle — an exact weight rearrangement into one dense stride-1 conv.
-# Hypothesis was that the lhs_dilation lowering wastes MXU work convolving a
-# mostly-zeros dilated input; MEASURED on the v5e (1080p g_s stack, b=4,
-# /tmp/deconv_ab.log 2026-08-17): sub-pixel 72.3 ms vs lhs_dilation 66.9 ms —
-# XLA's native lowering already skips the zeros, and the extra pixel-shuffle
-# relayout loses 8%. Default off; kept as an A/B lever (TestFastDeconv pins
-# the two lowerings elementwise-equal).
-FAST_DECONV = False
+# Deconv lowering policy: input-dilated deconvs as s² phase sub-convolutions
+# + pixel shuffle — an exact weight rearrangement into one dense stride-1
+# conv. MEASURED on the v5e at the 1080p g_s shapes (tools/gdn_tune.py,
+# artifacts/gdn_tune.json): for wide outputs (192ch) XLA's lhs_dilation
+# lowering already wins (66.9 vs 72.3 ms — it skips the zeros and the
+# pixel-shuffle relayout loses 8%), but for the narrow RGB deconv (192→3)
+# the sub-pixel form wins 24% (19.9 vs 26.2 ms). "auto" = sub-pixel iff the
+# output is narrow (features ≤ _FAST_DECONV_MAX_FEATURES); True/False force
+# one lowering for A/B (TestFastDeconv pins the two elementwise-equal).
+FAST_DECONV = "auto"
+_FAST_DECONV_MAX_FEATURES = 16
 
 
 def _subpixel_kernel(kernel, k: int, s: int):
@@ -130,7 +132,10 @@ class Deconv(nn.Module):
         )
         # odd k only: even kernels have (s·H − 1) output geometry that the
         # phase grid doesn't tile (no even-k deconv exists in the zoo)
-        if FAST_DECONV and s > 1 and k % 2 == 1:
+        use_fast = FAST_DECONV is True or (
+            FAST_DECONV == "auto" and self.features <= _FAST_DECONV_MAX_FEATURES
+        )
+        if use_fast and s > 1 and k % 2 == 1:
             sub, R, pl, ph = _subpixel_kernel(kernel, k, s)
             out = jax.lax.conv_general_dilated(
                 x,

@@ -63,15 +63,19 @@ def _gdn_kernel(x_ref, gamma_ref, beta_ref, out_ref, *, inverse):
     norm = jnp.dot(x * x, gamma_ref[:], preferred_element_type=jnp.float32)
     norm = norm + beta_ref[:]
     norm = jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm)
-    out_ref[:] = x * norm
+    out_ref[:] = (x * norm).astype(out_ref.dtype)
 
 
 def _gdn_pallas(x2d, gamma_t, beta, inverse: bool, interpret: bool = False):
+    # dtype-preserving block I/O: the kernel is pure data movement at these
+    # widths (tools/gdn_tune.py — removing the dot or the rsqrt does not
+    # change its time), so bf16 activations halve it (9.4 vs 17.6 ms at the
+    # b=4 1080p shape). Math stays f32 in VMEM.
     r, c = x2d.shape
     grid = (pl.cdiv(r, _TILE_ROWS),)
     return pl.pallas_call(
         functools.partial(_gdn_kernel, inverse=inverse),
-        out_shape=jax.ShapeDtypeStruct((r, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r, c), x2d.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TILE_ROWS, c), lambda i: (i, 0),
@@ -82,20 +86,21 @@ def _gdn_pallas(x2d, gamma_t, beta, inverse: bool, interpret: bool = False):
         out_specs=pl.BlockSpec((_TILE_ROWS, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x2d, gamma_t, beta[None, :])
+    )(x2d, gamma_t.astype(jnp.float32), beta[None, :].astype(jnp.float32))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def gdn_fused(x, gamma_t, beta, inverse: bool = False,
               interpret: bool = False):
     """Fused GDN over NHWC x. gamma_t is (in, out) = torch gamma transposed;
-    beta is (C,). Returns float32 output with x's shape."""
+    beta is (C,). Output has x's shape and dtype (f32 math internally)."""
     shape = x.shape
-    x2d = x.reshape(-1, shape[-1]).astype(jnp.float32)
+    x2d = x.reshape(-1, shape[-1])
     if pallas_enabled() or interpret:
         out = _gdn_pallas(x2d, gamma_t, beta, inverse, interpret)
     else:
-        out = _gdn_ref(x2d, gamma_t, beta, inverse)
+        out = _gdn_ref(x2d.astype(jnp.float32), gamma_t, beta,
+                       inverse).astype(x.dtype)
     return out.reshape(shape)
 
 
