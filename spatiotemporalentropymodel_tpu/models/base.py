@@ -70,6 +70,8 @@ class CompressionModel:
             {"params": k1, "noise": k2}, *example_args, train=False
         )
         self.params = variables["params"]
+        if self.compute_dtype is not None:  # constructor-set serving dtype
+            self.set_compute_dtype(self.compute_dtype)
         return self.params
 
     @property
@@ -80,8 +82,46 @@ class CompressionModel:
         self._rng, k = jax.random.split(self._rng)
         return k
 
+    # serving compute dtype for the transform nets; None = float32. Set via
+    # set_compute_dtype() — entropy/quantize math stays float32 inside the
+    # fused codec expressions regardless (they cast explicitly).
+    compute_dtype = None
+
+    def set_compute_dtype(self, dtype=None):
+        """Serve the transform nets at ``dtype`` (e.g. ``jnp.bfloat16``).
+
+        Casts the floating leaves of the parameter pytree and marks inputs
+        for casting in :meth:`_apply`; integer params and the codec tables
+        stay exact, and every fused codec expression casts back to float32
+        before quantization/CDF indexing, so encoder and decoder evaluate
+        identical entropy parameters and the bitstream stays
+        self-consistent — only the RD point shifts marginally.
+
+        Call AFTER ``init()``/checkpoint load and AFTER ``update()`` (so CDF
+        tables are built from full-precision quantiles). The cast is lossy:
+        pass ``None`` to serve float32 again, but reload the checkpoint to
+        recover exact float32 weights. Serving-only — keep training at f32.
+        """
+        self.compute_dtype = dtype
+        target = dtype if dtype is not None else jnp.float32
+        if self._params is not None:
+            self.params = jax.tree_util.tree_map(
+                lambda p: p.astype(target)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                self._params,
+            )
+
+    def _cast_in(self, a):
+        cd = self.compute_dtype
+        if (cd is not None and hasattr(a, "dtype")
+                and jnp.issubdtype(a.dtype, jnp.floating)):
+            return jnp.asarray(a, cd)
+        return a
+
     def _apply(self, *args, method=None, train=False, **kwargs):
         rngs = {"noise": self._next_rng()} if train else None
+        if self.compute_dtype is not None and not train:
+            args = tuple(self._cast_in(a) for a in args)
         return self.module.apply(
             {"params": self.params},
             *args,

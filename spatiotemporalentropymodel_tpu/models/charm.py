@@ -214,7 +214,11 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
                     else target[..., :0]
                 )
                 scales, means = self._apply(priors, ctx, g, method="group_params")
-                t_g = target[..., g * gs : (g + 1) * gs]
+                # f32 island: symbols/CDF rows must match the decoder's
+                # build_indexes(scales.astype(f32)) under any compute_dtype
+                scales = scales.astype(jnp.float32)
+                means = means.astype(jnp.float32)
+                t_g = target[..., g * gs : (g + 1) * gs].astype(jnp.float32)
                 sym = jnp.clip(jnp.round(t_g - means), -lim, lim).astype(
                     jnp.int16
                 )
@@ -264,7 +268,9 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
                 )
                 scales, means = self._apply(priors, ctx, g,
                                             method="group_params")
-                t_g = target[..., g * gs : (g + 1) * gs]
+                scales = scales.astype(jnp.float32)
+                means = means.astype(jnp.float32)
+                t_g = target[..., g * gs : (g + 1) * gs].astype(jnp.float32)
                 sym = jnp.round(t_g - means)
                 decoded.append(self._apply(
                     priors, ctx,
@@ -421,7 +427,9 @@ class SpatioTemporalPriorModelChannelAR(CompressionModel):
             def fn(priors, ctx):
                 scales, means = self._apply(priors, ctx, g,
                                             method="group_params")
-                return means, build_indexes(scales, table).astype(jnp.uint8)
+                return (means.astype(jnp.float32),
+                        build_indexes(scales.astype(jnp.float32),
+                                      table).astype(jnp.uint8))
 
             return fn
 

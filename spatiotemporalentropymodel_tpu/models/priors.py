@@ -388,7 +388,11 @@ class _HyperpriorCodecBase(CompressionModel):
             )
             if means is None:
                 means = jnp.zeros_like(scales)
-            y_sym, idx = pk.quantize_and_index(y, means, scales, table)
+            # f32 island: quantization/CDF-row selection must not depend on
+            # the serving compute_dtype (bf16 transforms; exact symbols)
+            y_sym, idx = pk.quantize_and_index(
+                y.astype(jnp.float32), means.astype(jnp.float32),
+                scales.astype(jnp.float32), table)
             y_sym = jnp.clip(y_sym, -lim, lim).astype(jnp.int16)
             return jnp.concatenate([
                 jax.lax.bitcast_convert_type(y_sym, jnp.uint8).reshape(-1),
@@ -410,7 +414,9 @@ class _HyperpriorCodecBase(CompressionModel):
             )
             if means is None:
                 means = jnp.zeros_like(scales)
-            idx = build_indexes(scales, table).astype(jnp.uint8)
+            means = means.astype(jnp.float32)
+            idx = build_indexes(scales.astype(jnp.float32),
+                                table).astype(jnp.uint8)
             return means, idx
 
         return self._jitted("fused_params", fn)

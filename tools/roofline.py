@@ -182,7 +182,10 @@ def main():
                 v.astype(jnp.float32), means.astype(jnp.float32),
                 scales.astype(jnp.float32), table)
 
-        def full(v):
+        def full(xpix):
+            # true full P chain from pixels: g_a -> HE -> round(z) ->
+            # priors -> quantize+index -> g_s (matches analytic ga+gs FLOPs)
+            v = imodel._apply(xpix, method="analysis")[0].astype(dtype)
             z = stem._apply(v, v, method="hyper_encode")
             z32 = z.astype(jnp.float32)
             z_hat = (jnp.round(z32 - medians) + medians).astype(dtype)
@@ -205,7 +208,7 @@ def main():
             ("HD+TPM+EPM", priors, zh),
             ("quantize+index", qidx, yc),
             ("g_s", gs, yc),
-            ("full_P_chain", full, yc),
+            ("full_P_chain", full, xc),
         ):
             row = measure(f"{name}[{dname}]", fn, inp, args.iters)
             row["dtype"] = dname
