@@ -999,10 +999,19 @@ def _emit(results, extras, to_stdout: bool):
     if "device_only_b4" in extras:
         detail["device_only"] = extras["device_only_b4"]
         if "host_coder_standalone" in extras:
-            detail["pcie_projection"] = pcie_projection(
-                best, extras["device_only_b4"],
-                extras["host_coder_standalone"],
+            # project with the faster serving dtype (bf16 since the fused
+            # bf16-preserving GDN + set_compute_dtype landed; the f32
+            # entropy islands keep the codec bit-consistent either way)
+            cands = [("f32", extras["device_only_b4"])]
+            if "device_only_b4_bf16" in extras and "ms_per_frame" in extras[
+                    "device_only_b4_bf16"]:
+                cands.append(("bf16", extras["device_only_b4_bf16"]))
+            dname, dev = min(cands, key=lambda c: c[1]["ms_per_frame"])
+            proj = pcie_projection(
+                best, dev, extras["host_coder_standalone"],
             )
+            proj["device_dtype"] = dname
+            detail["pcie_projection"] = proj
     for k in sorted(extras):
         if not k.startswith("_") and k != "device_only_b4":
             detail[k] = extras[k]
