@@ -58,35 +58,52 @@ def _gdn_ref(x2d, gamma_t, beta, inverse: bool):
     return x2d * norm
 
 
-def _gdn_kernel(x_ref, gamma_ref, beta_ref, out_ref, *, inverse):
+def _gdn_kernel(x_ref, gamma_ref, beta_ref, out_ref, *, inverse, fold, c):
     x = x_ref[:].astype(jnp.float32)
-    norm = jnp.dot(x * x, gamma_ref[:], preferred_element_type=jnp.float32)
-    norm = norm + beta_ref[:]
-    norm = jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm)
-    out_ref[:] = (x * norm).astype(out_ref.dtype)
+    outs = []
+    for f in range(fold):
+        xs = x[:, f * c:(f + 1) * c]
+        norm = jnp.dot(xs * xs, gamma_ref[:],
+                       preferred_element_type=jnp.float32)
+        norm = norm + beta_ref[:]
+        norm = jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm)
+        outs.append(xs * norm)
+    out = outs[0] if fold == 1 else jnp.concatenate(outs, axis=1)
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _gdn_pallas(x2d, gamma_t, beta, inverse: bool, interpret: bool = False):
+def _gdn_pallas(x2d, gamma_t, beta, inverse: bool, interpret: bool = False,
+                fold: int = 1):
     # dtype-preserving block I/O: the kernel is pure data movement at these
     # widths (tools/gdn_tune.py — removing the dot or the rsqrt does not
-    # change its time), so bf16 activations halve it (9.4 vs 17.6 ms at the
-    # b=4 1080p shape). Math stays f32 in VMEM.
+    # change its time), so bf16 activations halve it. Math stays f32 in
+    # VMEM. Lane-aligned folding (F pixels per block row so the width is a
+    # multiple of 128) measured 11.9 → 7.6 ms bf16 standalone
+    # (gdn_tune3/4), but IN-CHAIN the required reshape makes XLA
+    # materialize a relayout copy of the conv's (·,192)-layout output and
+    # the chain regresses (24.5 → 26.4 ms/frame device-only) — so
+    # production stays at fold=1; the folded path is kept (and tested) for
+    # callers that already hold lane-aligned buffers.
     r, c = x2d.shape
-    grid = (pl.cdiv(r, _TILE_ROWS),)
-    return pl.pallas_call(
-        functools.partial(_gdn_kernel, inverse=inverse),
-        out_shape=jax.ShapeDtypeStruct((r, c), x2d.dtype),
-        grid=grid,
+    assert r % fold == 0, (r, fold)
+    rw, cw = r // fold, c * fold
+    xw = x2d.reshape(rw, cw)
+    tile = _TILE_ROWS if fold == 1 else max(_TILE_ROWS // fold, 128) * 4
+    out = pl.pallas_call(
+        functools.partial(_gdn_kernel, inverse=inverse, fold=fold, c=c),
+        out_shape=jax.ShapeDtypeStruct((rw, cw), x2d.dtype),
+        grid=(pl.cdiv(rw, tile),),
         in_specs=[
-            pl.BlockSpec((_TILE_ROWS, c), lambda i: (i, 0),
+            pl.BlockSpec((tile, cw), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TILE_ROWS, c), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, cw), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x2d, gamma_t.astype(jnp.float32), beta[None, :].astype(jnp.float32))
+    )(xw, gamma_t.astype(jnp.float32), beta[None, :].astype(jnp.float32))
+    return out.reshape(r, c)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

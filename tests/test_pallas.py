@@ -56,6 +56,51 @@ class TestFusedGDN:
         out = pk.gdn_fused(x, gamma_t, beta, False, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    @pytest.mark.parametrize(
+        "shape,inverse,fold",
+        [
+            ((2, 4, 6, 192), False, 2),  # 384 lanes = 3 native tiles
+            ((2, 4, 6, 192), True, 2),
+            ((1, 4, 4, 64), False, 2),   # exactly 128 lanes
+            ((1, 2, 4, 48), False, 8),   # 384 lanes from a narrow channel
+        ],
+    )
+    def test_lane_fold_matches_reference(self, shape, inverse, fold):
+        # the lane-aligned fold (gdn_tune3/4) must be a pure layout change
+        # (production uses fold=1 — the in-chain relayout eats the win —
+        # but the folded math stays available for lane-aligned callers)
+        c = shape[-1]
+        rng = jax.random.PRNGKey(3)
+        x = jax.random.normal(rng, shape)
+        gamma_t = jnp.abs(jax.random.normal(jax.random.PRNGKey(4),
+                                            (c, c))) * 0.01
+        beta = jnp.ones(c)
+        ref = pk._gdn_ref(
+            x.reshape(-1, c).astype(jnp.float32), gamma_t, beta, inverse
+        ).reshape(shape)
+        out = pk._gdn_pallas(
+            x.reshape(-1, c), gamma_t, beta, inverse, interpret=True,
+            fold=fold,
+        ).reshape(shape)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_lane_fold_bf16_io(self):
+        # bf16 activations keep bf16 I/O through the folded kernel
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 6, 192),
+                              jnp.bfloat16)
+        gamma_t = 0.1 * jnp.eye(192) + 0.01
+        beta = jnp.ones(192)
+        out = pk._gdn_pallas(x.reshape(-1, 192), gamma_t, beta, False,
+                             interpret=True, fold=2).reshape(x.shape)
+        assert out.dtype == jnp.bfloat16
+        ref = pk._gdn_ref(
+            x.reshape(-1, 192).astype(jnp.float32), gamma_t, beta, False
+        ).reshape(x.shape)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref), atol=5e-2,
+            rtol=2e-2)
+
 
 class TestQuantizeAndIndex:
     def test_matches_reference(self):
