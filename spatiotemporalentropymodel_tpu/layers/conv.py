@@ -121,7 +121,7 @@ class Deconv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_weights: bool = False):
         k = self.kernel_size
         s = self.stride
         p = k // 2
@@ -130,6 +130,11 @@ class Deconv(nn.Module):
         kernel = self.param(
             "kernel", kaiming_normal, (k, k, in_ch, self.features), jnp.float32
         )
+        if return_weights:  # for fused consumers; params identical
+            bias = (self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+                    if self.use_bias else None)
+            return kernel, bias
         # odd k only: even kernels have (s·H − 1) output geometry that the
         # phase grid doesn't tile (no even-k deconv exists in the zoo)
         use_fast = FAST_DECONV is True or (
@@ -201,12 +206,44 @@ class SubpelConv3x3(nn.Module):
 
 
 class Sequential(nn.Module):
-    """Minimal sequential container over callables/modules."""
+    """Minimal sequential container over callables/modules.
+
+    Peephole: an ``GDN(inverse=True) → Deconv(narrow)`` pair — the g_s tail
+    of every image/video codec (compressai/models/priors.py:158-161) — runs
+    as the fused Pallas kernel ``igdn_deconv_fused`` on TPU (one HBM read of
+    x, one write of the shuffled RGB rows, instead of two bandwidth-bound
+    layer round-trips). Parameters, names and shapes are identical; the
+    modules are still called (``return_weights=True``) so checkpoints and
+    param trees don't change. Disable via pallas_kernels.FUSE_IGDN_DECONV.
+    """
 
     layers: Sequence
 
     @nn.compact
     def __call__(self, x):
-        for layer in self.layers:
+        from ..ops import pallas_kernels as pk
+        from .gdn import GDN
+
+        i, n = 0, len(self.layers)
+        while i < n:
+            layer = self.layers[i]
+            nxt = self.layers[i + 1] if i + 1 < n else None
+            if (
+                isinstance(layer, GDN)
+                and layer.inverse
+                and isinstance(nxt, Deconv)
+                and nxt.kernel_size % 2 == 1
+                and nxt.stride == 2
+                and hasattr(x, "ndim")
+                and pk.igdn_deconv_applicable(
+                    x, nxt.features, nxt.kernel_size, nxt.stride)
+            ):
+                beta_v, gamma_v = layer(x, return_weights=True)
+                kernel, bias = nxt(x, return_weights=True)
+                x = pk.igdn_deconv_fused(
+                    x, gamma_v.T, beta_v, kernel, bias, nxt.stride)
+                i += 2
+                continue
             x = layer(x)
+            i += 1
         return x

@@ -29,7 +29,7 @@ class GDN(nn.Module):
     gamma_init: float = 0.1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_weights: bool = False):
         c = self.channels
         beta_reparam = NonNegativeParametrizer(minimum=self.beta_min)
         gamma_reparam = NonNegativeParametrizer()
@@ -43,6 +43,8 @@ class GDN(nn.Module):
 
         beta_v = beta_reparam(beta)
         gamma_v = gamma_reparam(gamma)
+        if return_weights:  # for fused consumers (Sequential's IGDN→deconv
+            return beta_v, gamma_v  # peephole); params identical either way
 
         from ..ops import pallas_kernels as pk
 

@@ -202,3 +202,243 @@ def quantize_and_index(y, means, scales, table, scale_bound: float = 0.11,
         interpret=interpret,
     )(y2, m2, s2)
     return sym.reshape(shape), idx.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# fused IGDN + narrow sub-pixel deconv (the g_s tail: IGDN @ s·H/2 → RGB)
+# ---------------------------------------------------------------------------
+#
+# The last two g_s layers (compressai/models/priors.py:158-161 —
+# GDN(inverse=True) then ConvTranspose2d(N→3, k5 s2)) are both
+# bandwidth-bound and XLA runs them as separate HBM round-trips
+# (artifacts/layer_probe.json: 18.4 + 19.9 ms of the 130 ms f32 b=4 1080p
+# chain). This kernel reads x once, applies IGDN in VMEM, runs the
+# sub-pixel decomposition of the deconv (layers/conv.py::_subpixel_kernel —
+# a k3 s1 conv with F·s² output channels) as 9 static-slice MXU dots with
+# column-edge masks, adds bias, and pixel-shuffles into flat output rows of
+# s·W·F lanes — one read of x, one write of the RGB frame. Row halos ride a
+# small side input (2 rows per stripe) so stripes never overlap-fetch.
+
+FUSE_IGDN_DECONV = True  # A/B knob (tools/fused_tail_tune.py)
+_IGDN_DECONV_TH = 0      # 0 = auto (VMEM model); probes force a stripe height
+
+
+def _igdn_deconv_ref(x, gamma_t, beta, kernel, bias, s: int):
+    """XLA composition: IGDN then the definitional lhs-dilated deconv."""
+    c = x.shape[-1]
+    y = _gdn_ref(
+        x.reshape(-1, c).astype(jnp.float32), gamma_t, beta, inverse=True
+    ).reshape(x.shape)
+    k = kernel.shape[0]
+    p = k // 2
+    pad_lo = k - 1 - p
+    pad_hi = k - 1 - p + s - 1
+    out = jax.lax.conv_general_dilated(
+        y,
+        kernel.astype(y.dtype),
+        window_strides=(1, 1),
+        padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+        lhs_dilation=(s, s),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+def _igdn_deconv_kernel(x_ref, xb_ref, gamma_ref, beta_ref, sub_ref,
+                        bias_ref, out_ref, win_ref, *, th, w, c, f, s, rk):
+    def igdn(v):
+        vf = v.astype(jnp.float32)
+        n = jnp.dot(vf * vf, gamma_ref[:],
+                    preferred_element_type=jnp.float32) + beta_ref[:]
+        return vf * jnp.sqrt(n)
+
+    wd = win_ref.dtype
+    zero = jnp.zeros((1, c), wd)
+    win_ref[0:1] = zero
+    # IGDN in image-row chunks: a whole-stripe igdn would materialize
+    # (th·W, C) float32 temporaries and blow the 16 MB scoped-VMEM limit
+    win_ref[1:w + 1] = igdn(xb_ref[0:w, :]).astype(wd)          # prev row
+    for t in range(th):
+        win_ref[w + 1 + t * w:w + 1 + (t + 1) * w] = igdn(
+            x_ref[t * w:(t + 1) * w]).astype(wd)                # stripe
+    win_ref[w + 1 + th * w:2 * w + 1 + th * w] = igdn(
+        xb_ref[w:2 * w, :]).astype(wd)                          # next row
+    win_ref[2 * w + 1 + th * w:] = zero
+
+    # output pixel (t, wc) ← window rows (t+dy)·w + wc + dx − 1, plus the
+    # +1 leading-zero-row offset ⇒ slab start (t+dy)·w + dx; taps at the
+    # image's W edges are zero (conv zero padding) ⇒ mask wc==0 (dx=0) /
+    # wc==W−1. The mask multiplies the (·, F·s²) dot OUTPUT, not the (·, C)
+    # slab — the dot is row-wise so the two are equivalent, and the narrow
+    # form keeps the VMEM temp 16× smaller. The tap loop runs one image row
+    # per iteration so the nine live slab temporaries are (W, C), not
+    # (th·W, C) — the whole-stripe form blew the 16 MB scoped-VMEM limit.
+    wc = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    m_lo = (wc != 0).astype(jnp.float32)
+    m_hi = (wc != w - 1).astype(jnp.float32)
+    for t in range(th):
+        acc = jnp.zeros((w, f * s * s), jnp.float32)
+        for dy in range(rk):
+            for dx in range(rk):
+                slab = win_ref[(t + dy) * w + dx:(t + dy) * w + dx + w]
+                tap = dy * rk + dx
+                d = jnp.dot(slab, sub_ref[tap * c:(tap + 1) * c],
+                            preferred_element_type=jnp.float32)
+                if dx == 0:
+                    d = d * m_lo
+                elif dx == rk - 1:
+                    d = d * m_hi
+                acc = acc + d
+        out12 = acc + bias_ref[:]
+        # Mosaic supports 2-D transposes but not sublane↔lane reshapes, so
+        # the kernel emits the compact pre-shuffle tensor channel-major
+        # (F·s², N) and the (tiny, ~100 MB) pixel shuffle runs as one fused
+        # XLA epilogue
+        out_ref[:, t * w:(t + 1) * w] = out12.T.astype(out_ref.dtype)
+
+
+def igdn_deconv_applicable(x, features: int, kernel_size: int,
+                           stride: int) -> bool:
+    if not (FUSE_IGDN_DECONV and pallas_enabled()):
+        return False
+    if x.ndim != 4 or stride != 2 or kernel_size % 2 == 0:
+        return False
+    if x.dtype != jnp.bfloat16:
+        # measured A/B at the bench tail shape (artifacts/fused_tail_ab.json):
+        # bf16 24.6 vs 30.6 ms unfused (win), f32 55.0 vs 37.9 ms (loss — the
+        # f32 VMEM budget forces th=2 stripes whose halo re-reads and
+        # per-stripe transposes dominate). Serving runs bf16; training (f32)
+        # keeps the unfused path.
+        return False
+    if -(-kernel_size // stride) != 3:  # halo design covers R == 3
+        return False
+    if features * stride * stride > 128:
+        return False
+    b, h, w, c = x.shape
+    if h % 2 or (b * h * w) % 8:
+        return False
+    th = _igdn_deconv_th(x)
+    return th is not None
+
+
+def _igdn_deconv_th(x):
+    """Largest stripe height whose VMEM working set fits the 16 MB scoped
+    limit: 2 pipelined x blocks + 2 halo blocks + the IGDN'd window
+    scratch + per-chunk igdn f32 temps + dot/acc temps + slack."""
+    b, h, w, c = x.shape
+    isz = jnp.dtype(x.dtype).itemsize
+    for th in (16, 8, 4, 2):
+        if h % th:
+            continue
+        # coefficients fitted to Mosaic's actual scoped-VMEM accounting at
+        # the 1080p shape (tools/fused_tail compile probes: bf16 fits at
+        # th=4, f32 at th=2; one step larger OOMs in both dtypes)
+        vmem = (3 * th * w * c * isz            # x blocks (pipelined)
+                + 2 * 2 * w * c * isz           # halo blocks
+                + ((th + 2) * w + 2) * c * 2    # window scratch (bf16)
+                + 9 * w * c * 2                 # live tap slabs (one row)
+                + 3 * w * c * 4)                # igdn chunk f32 temps
+        if vmem <= 16 * 1024 * 1024:
+            return th
+    return None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def igdn_deconv_fused(x, gamma_t, beta, kernel, bias, stride: int = 2,
+                      interpret: bool = False):
+    """IGDN (gamma_t = (in, out), beta (C,)) fused with a narrow deconv
+    (kernel (k, k, C, F) = flipped torch ConvTranspose2d weight, bias (F,)).
+    Returns (B, s·H, s·W, F) in x's dtype."""
+    s = stride
+    b, h, w, c = x.shape
+    f = kernel.shape[-1]
+    if not (interpret or igdn_deconv_applicable(x, f, kernel.shape[0], s)):
+        return _igdn_deconv_ref(x, gamma_t, beta, kernel, bias, s)
+
+    from ..layers.conv import _subpixel_kernel  # lazy: avoid import cycle
+
+    sub, rk, pl_, ph = _subpixel_kernel(kernel, kernel.shape[0], s)
+    assert (pl_, ph) == (1, 1), (pl_, ph)
+    sub2 = sub.reshape(rk * rk * c, f * s * s)
+    th = _IGDN_DECONV_TH or _igdn_deconv_th(x) or (1 if interpret else None)
+    stripes = h // th
+    # the IGDN'd window is stored bf16 on hardware (halves the largest
+    # scratch; conv inputs round to bf16 exactly as XLA's default-precision
+    # f32 convs do); interpret mode keeps x's dtype so the parity tests pin
+    # the exact math
+    win_dtype = x.dtype if interpret else jnp.bfloat16
+
+    # halo side input: the image rows just above/below every stripe (zeros
+    # at the frame edge) — 2/th extra reads instead of overlapped blocks
+    x4 = x.reshape(b, h, w, c)
+    si = jnp.arange(stripes)
+    prev = jnp.where((si * th - 1 < 0)[None, :, None, None, None],
+                     jnp.zeros((), x.dtype),
+                     x4[:, jnp.maximum(si * th - 1, 0)][:, :, None])
+    nxt = jnp.where((si * th + th >= h)[None, :, None, None, None],
+                    jnp.zeros((), x.dtype),
+                    x4[:, jnp.minimum(si * th + th, h - 1)][:, :, None])
+    xb = jnp.concatenate([prev, nxt], axis=2)  # (b, stripes, 2, w, c)
+    xb2 = xb.reshape(b * stripes * 2 * w, c)
+
+    bias12 = jnp.repeat(
+        jnp.zeros((f,), jnp.float32) if bias is None
+        else bias.astype(jnp.float32), s * s)[None, :]
+
+    x2 = x.reshape(b * h * w, c)
+    out = pl.pallas_call(
+        functools.partial(_igdn_deconv_kernel, th=th, w=w, c=c, f=f, s=s,
+                          rk=rk),
+        out_shape=jax.ShapeDtypeStruct((f * s * s, b * h * w), x.dtype),
+        grid=(b * stripes,),
+        in_specs=[
+            pl.BlockSpec((th * w, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * w, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rk * rk * c, f * s * s), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f * s * s), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((f * s * s, th * w), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM(((th + 2) * w + 2, c), win_dtype),
+        ],
+        interpret=interpret,
+    )(x2, xb2, gamma_t.astype(jnp.float32), beta[None, :].astype(jnp.float32),
+      sub2.astype(win_dtype), bias12)
+
+    from ..layers.conv import pixel_shuffle
+
+    out12 = out.T.reshape(b, h, w, f * s * s)
+    return pixel_shuffle(out12, s)
+
+
+def _igdn_deconv_fwd(x, gamma_t, beta, kernel, bias, stride, interpret):
+    out = igdn_deconv_fused(x, gamma_t, beta, kernel, bias, stride,
+                            interpret)
+    return out, (x, gamma_t, beta, kernel, bias)
+
+
+def _igdn_deconv_bwd(stride, interpret, res, g):
+    x, gamma_t, beta, kernel, bias = res
+    has_bias = bias is not None
+
+    def ref(x_, gt_, b_, k_, bs_):
+        return _igdn_deconv_ref(x_, gt_, b_, k_,
+                                bs_ if has_bias else None, stride)
+
+    _, vjp = jax.vjp(ref, x, gamma_t, beta, kernel,
+                     bias if has_bias else jnp.zeros((kernel.shape[-1],),
+                                                     jnp.float32))
+    gx, ggt, gb, gk, gbs = vjp(g.astype(x.dtype))
+    return gx, ggt, gb, gk, (gbs if has_bias else None)
+
+
+igdn_deconv_fused.defvjp(_igdn_deconv_fwd, _igdn_deconv_bwd)

@@ -127,3 +127,82 @@ class TestQuantizeAndIndex:
         idx = np.asarray(idx)
         assert idx[0, 0] == 0  # below bound → first row
         assert idx[0, -1] == len(table) - 1  # above max → last row
+
+
+class TestFusedIGDNDeconv:
+    """igdn_deconv_fused — the g_s-tail fusion (IGDN → narrow deconv)."""
+
+    def _weights(self, c, f=3, k=5, seed=0):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+        gamma_t = jnp.abs(jax.random.normal(ks[0], (c, c))) * 0.01
+        beta = jnp.ones(c)
+        kernel = jax.random.normal(ks[1], (k, k, c, f)) * 0.05
+        bias = jax.random.normal(ks[2], (f,)) * 0.1
+        return gamma_t, beta, kernel, bias
+
+    @pytest.mark.parametrize("shape", [(1, 8, 12, 192), (2, 6, 10, 64),
+                                       (1, 7, 5, 32)])
+    def test_matches_composition(self, shape):
+        c = shape[-1]
+        x = jax.random.normal(jax.random.PRNGKey(1), shape) * 0.5
+        gamma_t, beta, kernel, bias = self._weights(c)
+        ref = pk._igdn_deconv_ref(x, gamma_t, beta, kernel, bias, 2)
+        got = pk.igdn_deconv_fused(x, gamma_t, beta, kernel, bias, 2, True)
+        assert got.shape == (shape[0], 2 * shape[1], 2 * shape[2], 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_gradients_match_composition(self):
+        c = 32
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 6, c)) * 0.5
+        gamma_t, beta, kernel, bias = self._weights(c)
+
+        gf = jax.grad(
+            lambda *a: pk.igdn_deconv_fused(*a, 2, True).sum(),
+            argnums=(0, 1, 2, 3, 4))(x, gamma_t, beta, kernel, bias)
+        gr = jax.grad(
+            lambda *a: pk._igdn_deconv_ref(*a, 2).sum(),
+            argnums=(0, 1, 2, 3, 4))(x, gamma_t, beta, kernel, bias)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
+
+    def test_sequential_peephole_matches_and_keeps_params(self, monkeypatch):
+        # force the TPU-only peephole on (interpret-mode kernel) and check
+        # the fused Sequential matches the plain chain with IDENTICAL params
+        from spatiotemporalentropymodel_tpu.layers import (
+            GDN, Deconv, Sequential)
+
+        seq = Sequential([GDN(48, inverse=True), Deconv(3, 5, 2)])
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 6, 8, 48)) * 0.5
+        params = seq.init(jax.random.PRNGKey(4), x)
+        y_plain = seq.apply(params, x)
+
+        orig = pk.igdn_deconv_fused
+        monkeypatch.setattr(pk, "igdn_deconv_applicable",
+                            lambda *a, **k: True)
+        monkeypatch.setattr(
+            pk, "igdn_deconv_fused",
+            lambda x_, gt, b, k_, bs, s=2: orig(x_, gt, b, k_, bs, s, True))
+        params_fused = seq.init(jax.random.PRNGKey(4), x)
+        y_fused = seq.apply(params_fused, x)
+
+        assert jax.tree_util.tree_structure(
+            params) == jax.tree_util.tree_structure(params_fused)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params_fused)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain),
+                                   atol=2e-4)
+
+    def test_bf16_io(self):
+        c = 64
+        x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, c),
+                              jnp.bfloat16)
+        gamma_t, beta, kernel, bias = self._weights(c)
+        got = pk.igdn_deconv_fused(x, gamma_t, beta, kernel, bias, 2, True)
+        assert got.dtype == jnp.bfloat16
+        ref = pk._igdn_deconv_ref(x.astype(jnp.float32), gamma_t, beta,
+                                  kernel, bias, 2)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref), atol=6e-2, rtol=3e-2)
