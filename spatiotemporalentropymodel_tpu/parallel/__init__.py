@@ -6,6 +6,13 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .spatial import (
+    SP_AXIS,
+    frame_sharding,
+    make_spatial_mesh,
+    shard_frame,
+    spatial_apply,
+)
 from .train_step import (
     TrainState,
     data_parallel_step,
@@ -18,6 +25,11 @@ from .train_step import (
 
 __all__ = [
     "DATA_AXIS",
+    "SP_AXIS",
+    "make_spatial_mesh",
+    "frame_sharding",
+    "shard_frame",
+    "spatial_apply",
     "make_mesh",
     "replicated",
     "batch_sharded",

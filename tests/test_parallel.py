@@ -10,6 +10,10 @@ from spatiotemporalentropymodel_tpu.models import (
     STEMModule,
 )
 from spatiotemporalentropymodel_tpu.parallel import (
+    frame_sharding,
+    make_spatial_mesh,
+    shard_frame,
+    spatial_apply,
     data_parallel_step,
     init_train_state,
     make_mesh,
@@ -144,3 +148,68 @@ class TestShardedGopForward:
         np.testing.assert_allclose(
             np.asarray(sh_bpp), np.asarray(ref_bpp), rtol=1e-5
         )
+
+
+class TestSpatialParallel:
+    """Spatial model-parallelism (parallel/spatial.py): one frame W-sharded
+    over the mesh; GSPMD inserts the conv halo exchanges. Outputs must be
+    bit-comparable to the single-device transforms and actually sharded."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from spatiotemporalentropymodel_tpu.models import MeanScaleHyperprior
+
+        model = MeanScaleHyperprior(8, 16)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 128, 3))
+        model.init(x)
+        mesh = make_spatial_mesh(8)
+        return model, x, mesh
+
+    def test_analysis_matches_and_is_sharded(self, setup):
+        model, x, mesh = setup
+        y_ref, z_ref = model._apply(x, method="analysis")
+        y, z = spatial_apply(model, "analysis", x, mesh)
+        assert len(y.sharding.device_set) == 8
+        assert not y.sharding.is_fully_replicated
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                                   atol=1e-5)
+
+    def test_synthesis_matches(self, setup):
+        model, x, mesh = setup
+        y, _ = model._apply(x, method="analysis")
+        y = jnp.asarray(y)
+        x_ref = model._apply(y, method="get_x")
+        x_hat = spatial_apply(model, "get_x", y, mesh, gather=True)
+        assert x_hat.sharding.is_fully_replicated
+        np.testing.assert_allclose(np.asarray(x_hat), np.asarray(x_ref),
+                                   atol=1e-5)
+
+    def test_stem_hyper_sharded(self, setup):
+        from spatiotemporalentropymodel_tpu.models import (
+            SpatioTemporalPriorModel,
+        )
+
+        stem = SpatioTemporalPriorModel(
+            variant="without_spm", entropy_bottleneck_channels=16,
+            in_channels=16)
+        y = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 32, 16)) * 0.3
+        stem.init(y, y)
+        _, _, mesh = setup
+        z_ref = stem._apply(y, y, method="hyper_encode")
+        repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        fn = jax.jit(
+            lambda p, a, b: stem.module.apply({"params": p}, a, b,
+                                              method="hyper_encode"),
+            in_shardings=(repl, frame_sharding(mesh), frame_sharding(mesh)),
+        )
+        z = fn(jax.device_put(stem.params, repl),
+               shard_frame(y, mesh), shard_frame(y, mesh))
+        np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                                   atol=1e-5)
+
+    def test_shard_frame_rejects_indivisible_w(self, setup):
+        _, _, mesh = setup
+        with pytest.raises(ValueError):
+            shard_frame(jnp.zeros((1, 8, 12, 3)), mesh)
