@@ -54,7 +54,8 @@ class _NumpyStream:
     def __init__(self, data):
         self._dec = _numpy_rans.StreamDecoder(data)
 
-    def decode(self, indexes, cdfs, cdf_lengths, offsets):
+    def decode(self, indexes, cdfs, cdf_lengths, offsets, lut=None):
+        del lut  # spec path has no acceleration tables
         return self._dec.decode(
             np.asarray(indexes, dtype=np.int32).reshape(-1),
             np.asarray(cdfs, dtype=np.int32),

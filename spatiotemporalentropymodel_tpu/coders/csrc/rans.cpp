@@ -758,6 +758,21 @@ int stem_dec_decode(void* h, const int32_t* indexes, int64_t n,
   return 0;
 }
 
+// LUT-accelerated variant for the wavefront/AR round loop: O(1) symbol
+// lookup + per-row dominant-symbol window instead of the per-symbol binary
+// search (same stream position semantics as stem_dec_decode).
+int stem_dec_decode_lut(void* h, const int32_t* indexes, int64_t n,
+                        const int32_t* cdfs, int32_t rows, int32_t cols,
+                        const int32_t* cdf_sizes, const int32_t* offsets,
+                        const int16_t* lut, const int32_t* dom,
+                        int32_t* out) {
+  (void)rows;
+  StreamDec* d = static_cast<StreamDec*>(h);
+  decode_lane(d->st, indexes, n, cdfs, cols, cdf_sizes, offsets, 0, 1, out,
+              lut, dom);
+  return 0;
+}
+
 // ---- interleaved multi-lane container -------------------------------------
 //
 // Layout: [u32 n_lanes][u32 payload_len[lane]...][payload lane 0][lane 1]...

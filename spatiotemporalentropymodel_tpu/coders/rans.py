@@ -103,6 +103,12 @@ def _lib():
         ctypes.c_void_p, _i32p, ctypes.c_int64, _i32p, ctypes.c_int32,
         ctypes.c_int32, _i32p, _i32p, _i32p,
     ]
+    lib.stem_dec_decode_lut.restype = ctypes.c_int
+    lib.stem_dec_decode_lut.argtypes = [
+        ctypes.c_void_p, _i32p, ctypes.c_int64, _i32p, ctypes.c_int32,
+        ctypes.c_int32, _i32p, _i32p, ctypes.c_void_p, ctypes.c_void_p,
+        _i32p,
+    ]
     return lib
 
 
@@ -345,15 +351,22 @@ class StreamDecoder:
         self._buf = np.ascontiguousarray(buf)
         self._h = _lib().stem_dec_create(self._buf, self._buf.shape[0])
 
-    def decode(self, indexes, cdfs, cdf_lengths, offsets):
+    def decode(self, indexes, cdfs, cdf_lengths, offsets, lut=None):
         indexes = _as_i32(indexes).reshape(-1)
         cdfs = _as_i32(cdfs)
         lengths, offs = _as_i32(cdf_lengths), _as_i32(offsets)
         out = np.empty(indexes.shape[0], dtype=np.int32)
-        rc = _lib().stem_dec_decode(
-            self._h, indexes, indexes.shape[0], cdfs, cdfs.shape[0],
-            cdfs.shape[1], lengths, offs, out,
-        )
+        lut_ptr, dom_ptr = _lut_ptrs(lut)
+        if lut_ptr is not None:
+            rc = _lib().stem_dec_decode_lut(
+                self._h, indexes, indexes.shape[0], cdfs, cdfs.shape[0],
+                cdfs.shape[1], lengths, offs, lut_ptr, dom_ptr, out,
+            )
+        else:
+            rc = _lib().stem_dec_decode(
+                self._h, indexes, indexes.shape[0], cdfs, cdfs.shape[0],
+                cdfs.shape[1], lengths, offs, out,
+            )
         if rc != 0:
             raise ValueError(f"stream decode failed (rc={rc})")
         return out

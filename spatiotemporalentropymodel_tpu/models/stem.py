@@ -664,9 +664,11 @@ class SpatioTemporalPriorModel(CompressionModel):
             t1 = time.perf_counter()
             st["enc_device_s"] = st.get("enc_device_s", 0.0) + (t1 - t0)
         t = self.tables["gaussian_conditional"]
+        esym = entropy_base.get_enc_table(t, self.coder)
         y_strings = [
             self.coder.encode_with_indexes(
-                sym_flat[i], idx_flat[i], t.cdf, t.cdf_length, t.offset
+                sym_flat[i], idx_flat[i], t.cdf, t.cdf_length, t.offset,
+                esym=esym,
             )
             for i in range(b)
         ]
@@ -692,6 +694,7 @@ class SpatioTemporalPriorModel(CompressionModel):
         valid_np = np.asarray(valid)
 
         decoders = [self.coder.make_stream_decoder(s) for s in strings[0]]
+        lut = entropy_base.get_lut(t, self.coder)
         target_pad = jnp.zeros((b * nt, th + 4, tw + 4, m), jnp.float32)
         L = coords.shape[1]
         T = coords.shape[0]
@@ -712,7 +715,8 @@ class SpatioTemporalPriorModel(CompressionModel):
             sym = np.zeros((b, nt, L, m), np.int32)
             for i in range(b):
                 decoded = decoders[i].decode(
-                    idx_np[i][:, v].reshape(-1), t.cdf, t.cdf_length, t.offset
+                    idx_np[i][:, v].reshape(-1), t.cdf, t.cdf_length,
+                    t.offset, lut=lut,
                 )
                 sym[i][:, v] = decoded.reshape(nt, n_valid, m)
             if st is not None:
