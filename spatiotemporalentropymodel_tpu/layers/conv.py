@@ -25,6 +25,44 @@ import jax.numpy as jnp
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
+# Strided-conv lowering policy (the encoder-side mirror of FAST_DECONV):
+# a k×k stride-s conv is EXACTLY a stride-1 conv on the s×s space-to-depth
+# rearrangement of its input — denser MXU contraction (s²·Cin input
+# channels) at the cost of (R·s/k)² zero-padded tap slots. False = XLA's
+# native strided conv; True forces s2d for A/B (tools/conv_s2d_probe.py);
+# TestS2dConv pins the two lowerings elementwise-equal.
+S2D_CONV = False
+
+
+def _s2d_kernel(kernel, k: int, s: int):
+    """(k, k, in, out) stride-s conv kernel → the equivalent
+    (R, R, s²·in, out) stride-1 kernel over the s2d input + padding.
+
+    Tap u hits s2d block m = ⌊(u−p)/s⌋, phase a = (u−p) mod s; s2d channel
+    layout is (a·s + b)·in + c (matching ``space_to_depth``)."""
+    p = k // 2
+    in_ch, out_ch = kernel.shape[2], kernel.shape[3]
+    m_min, m_max = (0 - p) // s, (k - 1 - p) // s  # floor div (p may be < s)
+    R = m_max - m_min + 1
+    sub = jnp.zeros((R, R, s * s * in_ch, out_ch), kernel.dtype)
+    for u in range(k):
+        mu, au = (u - p) // s, (u - p) % s
+        for v in range(k):
+            mv, av = (v - p) // s, (v - p) % s
+            ch = (au * s + av) * in_ch
+            sub = sub.at[mu - m_min, mv - m_min, ch:ch + in_ch, :].set(
+                kernel[u, v]
+            )
+    return sub, -m_min, m_max
+
+
+def space_to_depth(x, s: int):
+    """NHWC (B, H, W, C) → (B, H/s, W/s, s²·C); channel = (a·s + b)·C + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // s, s, w // s, s, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // s, w // s, s * s * c)
+
+
 class Conv(nn.Module):
     """2-D convolution with symmetric torch-style padding (padding=k//2)."""
 
@@ -36,18 +74,30 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
+        s = self.stride
         p = k // 2
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel", kaiming_normal, (k, k, in_ch, self.features), jnp.float32
         )
-        out = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(x.dtype),
-            window_strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if (S2D_CONV and s > 1 and k % 2 == 1
+                and x.shape[1] % s == 0 and x.shape[2] % s == 0):
+            sub, pl, ph = _s2d_kernel(kernel.astype(x.dtype), k, s)
+            out = jax.lax.conv_general_dilated(
+                space_to_depth(x, s),
+                sub,
+                window_strides=(1, 1),
+                padding=((pl, ph), (pl, ph)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            out = jax.lax.conv_general_dilated(
+                x,
+                kernel.astype(x.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             out = out + bias.astype(out.dtype)

@@ -221,3 +221,51 @@ class TestFastDeconv:
         m = Deconv(4, 4, 2)
         params = m.init(jax.random.PRNGKey(1), x)
         assert m.apply(params, x).shape == (1, 11, 19, 4)
+
+
+class TestS2dConv:
+    """The space-to-depth lowering of a strided conv is the same arithmetic
+    as XLA's native strided conv (layers/conv.py::_s2d_kernel)."""
+
+    @pytest.mark.parametrize("k,s,hw,cin", [(5, 2, (10, 12), 3),
+                                            (3, 2, (8, 8), 5),
+                                            (5, 3, (9, 12), 2)])
+    def test_lowerings_agree(self, k, s, hw, cin):
+        import importlib
+
+        convmod = importlib.import_module(
+            "spatiotemporalentropymodel_tpu.layers.conv")
+
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, *hw, cin)).astype(np.float32))
+        m = Conv(4, k, s)
+        params = m.init(jax.random.PRNGKey(1), x)
+        old = convmod.S2D_CONV
+        try:
+            convmod.S2D_CONV = True
+            fast = m.apply(params, x)
+            convmod.S2D_CONV = False
+            ref = m.apply(params, x)
+        finally:
+            convmod.S2D_CONV = old
+        assert fast.shape == ref.shape == (2, hw[0] // s, hw[1] // s, 4)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_indivisible_hw_falls_back(self):
+        # H not divisible by s: s2d cannot tile the input — the policy
+        # must fall back to the native strided conv
+        import importlib
+
+        convmod = importlib.import_module(
+            "spatiotemporalentropymodel_tpu.layers.conv")
+        x = jnp.zeros((1, 7, 10, 3))
+        m = Conv(4, 5, 2)
+        params = m.init(jax.random.PRNGKey(1), x)
+        old = convmod.S2D_CONV
+        try:
+            convmod.S2D_CONV = True
+            out = m.apply(params, x)
+        finally:
+            convmod.S2D_CONV = old
+        assert out.shape == (1, 4, 5, 4)
