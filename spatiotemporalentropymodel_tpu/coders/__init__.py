@@ -23,6 +23,7 @@ class NumpyCoder:
     name = "numpy"
     supports_lut = False
     supports_runs = False
+    supports_stream_runs = False
 
     def encode_with_indexes(self, symbols, indexes, cdfs, cdf_lengths, offsets):
         cdfs = np.asarray(cdfs, dtype=np.int32)
@@ -70,6 +71,9 @@ class NativeCoder:
     # run-based grouped container (counts-derived rows, chunked lanes,
     # fused packed decode) — the sparse transport's fast path
     supports_runs = True
+    # segmented single-stream run coding (wavefront v2: per-round
+    # grouped-by-row order, StreamDecoder.decode_runs per round)
+    supports_stream_runs = True
     n_lanes = 1  # single stream
 
     def __init__(self):
@@ -90,6 +94,12 @@ class NativeCoder:
                     esym=None):
         return self._rans.encode_runs(
             symbols, counts, cdfs, cdf_lengths, offsets, self.n_lanes, esym
+        )
+
+    def encode_runs_segmented(self, symbols, seg_counts, cdfs, cdf_lengths,
+                              offsets, esym=None):
+        return self._rans.encode_runs_segmented(
+            symbols, seg_counts, cdfs, cdf_lengths, offsets, esym
         )
 
     def decode_runs(self, data, counts, n, cdfs, cdf_lengths, offsets,

@@ -282,13 +282,14 @@ void decode_lane(DecState& st, const int32_t* indexes, int64_t n,
 // max_value, offset, LUT row, dominant-symbol window) hoist out of the
 // inner loop.
 
-// Encode symbols[lo, hi) (grouped order, rows from counts) in reverse.
-void encode_runs_range(const int32_t* symbols, const int64_t* row_starts,
-                       int32_t levels, const int32_t* cdfs, int32_t cols,
-                       const int32_t* cdf_sizes, const int32_t* offsets,
-                       const EncSym* esym, int64_t lo, int64_t hi,
-                       BackwardBuf& out) {
-  uint64_t x = kRansL;
+// Encode symbols[lo, hi) (grouped order, rows from row_starts) in reverse
+// onto an existing rANS state — the shared core of the run-based encoders.
+void encode_rows_reverse(uint64_t& x, const int32_t* symbols,
+                         const int64_t* row_starts, int32_t levels,
+                         const int32_t* cdfs, int32_t cols,
+                         const int32_t* cdf_sizes, const int32_t* offsets,
+                         const EncSym* esym, int64_t lo, int64_t hi,
+                         BackwardBuf& out) {
   for (int32_t r = levels - 1; r >= 0; --r) {
     const int64_t s = std::max(row_starts[r], lo);
     const int64_t e = std::min(row_starts[r + 1], hi);
@@ -335,6 +336,18 @@ void encode_runs_range(const int32_t* symbols, const int64_t* row_starts,
       }
     }
   }
+}
+
+// Encode symbols[lo, hi) (grouped order, rows from counts) as one complete
+// lane stream (own state init + flush).
+void encode_runs_range(const int32_t* symbols, const int64_t* row_starts,
+                       int32_t levels, const int32_t* cdfs, int32_t cols,
+                       const int32_t* cdf_sizes, const int32_t* offsets,
+                       const EncSym* esym, int64_t lo, int64_t hi,
+                       BackwardBuf& out) {
+  uint64_t x = kRansL;
+  encode_rows_reverse(x, symbols, row_starts, levels, cdfs, cols, cdf_sizes,
+                      offsets, esym, lo, hi, out);
   out.put(static_cast<uint32_t>(x >> 32));
   out.put(static_cast<uint32_t>(x));
 }
@@ -715,6 +728,50 @@ int64_t stem_decode_runs(const uint8_t* data, int64_t nbytes,
   return nz_total;
 }
 
+// Segmented run-based SINGLE-stream encoder (the wavefront v2 format):
+// symbols are a concatenation of n_segs segments (one per wavefront decode
+// round), each segment grouped by CDF row; seg_counts is (n_segs, levels)
+// row-major. The output is a plain single-lane stream — stem_dec_create +
+// stem_dec_decode_runs consume it segment-by-segment, so every per-row
+// constant hoists out of both coding loops while the stream stays
+// incrementally decodable across AR rounds.
+int64_t stem_encode_runs_segmented(const int32_t* symbols, int64_t n,
+                                   const int32_t* seg_counts, int32_t n_segs,
+                                   int32_t levels, const int32_t* cdfs,
+                                   int32_t cols, const int32_t* cdf_sizes,
+                                   const int32_t* offsets, const uint8_t* esym,
+                                   uint8_t* out, int64_t out_cap) {
+  const EncSym* et = reinterpret_cast<const EncSym*>(esym);
+  // segment base offsets
+  std::vector<int64_t> seg_base(n_segs + 1, 0);
+  for (int32_t s = 0; s < n_segs; ++s) {
+    int64_t tot = 0;
+    for (int32_t r = 0; r < levels; ++r)
+      tot += seg_counts[static_cast<int64_t>(s) * levels + r];
+    seg_base[s + 1] = seg_base[s] + tot;
+  }
+  if (seg_base[n_segs] != n) return -3;
+
+  BackwardBuf buf;
+  uint64_t x = kRansL;
+  std::vector<int64_t> starts(levels + 1);
+  for (int32_t s = n_segs - 1; s >= 0; --s) {
+    const int32_t* cnt = seg_counts + static_cast<int64_t>(s) * levels;
+    starts[0] = seg_base[s];
+    for (int32_t r = 0; r < levels; ++r) starts[r + 1] = starts[r] + cnt[r];
+    encode_rows_reverse(x, symbols, starts.data(), levels, cdfs, cols,
+                        cdf_sizes, offsets, et, seg_base[s], seg_base[s + 1],
+                        buf);
+  }
+  buf.put(static_cast<uint32_t>(x >> 32));
+  buf.put(static_cast<uint32_t>(x));
+
+  const int64_t nbytes = static_cast<int64_t>(buf.nbytes());
+  if (nbytes > out_cap) return -nbytes;
+  buf.copy_reversed(out);
+  return nbytes;
+}
+
 // (bitmask, compacted int8 values) → dense int32 symbols; the encode-side
 // unpack (entropy/transport.py::unpack_encode) without the Python scatter.
 void stem_expand_sparse(const uint8_t* maskbits, const int8_t* values,
@@ -771,6 +828,24 @@ int stem_dec_decode_lut(void* h, const int32_t* indexes, int64_t n,
   decode_lane(d->st, indexes, n, cdfs, cols, cdf_sizes, offsets, 0, 1, out,
               lut, dom);
   return 0;
+}
+
+// Run-based segment decode on the stateful stream: decode the next n symbols
+// whose CDF rows are given (grouped order) by `counts` — one call per
+// wavefront round on a stem_encode_runs_segmented stream. Row constants and
+// acceleration tables hoist per run instead of re-resolving per symbol.
+int stem_dec_decode_runs(void* h, const int32_t* counts, int32_t levels,
+                         int64_t n, const int32_t* cdfs, int32_t cols,
+                         const int32_t* cdf_sizes, const int32_t* offsets,
+                         const int16_t* lut, const int32_t* dom,
+                         int32_t* out) {
+  StreamDec* d = static_cast<StreamDec*>(h);
+  const auto starts = counts_prefix(counts, levels);
+  if (starts[levels] != n) return -3;
+  const int64_t rc = decode_runs_range(d->st, starts.data(), levels, cdfs,
+                                       cols, cdf_sizes, offsets, lut, dom, 0,
+                                       n, out, nullptr, nullptr, 0);
+  return rc < 0 ? static_cast<int>(rc) : 0;
 }
 
 // ---- interleaved multi-lane container -------------------------------------

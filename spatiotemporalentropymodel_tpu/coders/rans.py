@@ -66,6 +66,18 @@ def _lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ]
 
+    lib.stem_encode_runs_segmented.restype = ctypes.c_int64
+    lib.stem_encode_runs_segmented.argtypes = [
+        _i32p, ctypes.c_int64, _i32p, ctypes.c_int32, ctypes.c_int32, _i32p,
+        ctypes.c_int32, _i32p, _i32p, ctypes.c_void_p, _u8p, ctypes.c_int64,
+    ]
+
+    lib.stem_dec_decode_runs.restype = ctypes.c_int
+    lib.stem_dec_decode_runs.argtypes = [
+        ctypes.c_void_p, _i32p, ctypes.c_int32, ctypes.c_int64, _i32p,
+        ctypes.c_int32, _i32p, _i32p, ctypes.c_void_p, ctypes.c_void_p, _i32p,
+    ]
+
     lib.stem_expand_sparse.restype = None
     lib.stem_expand_sparse.argtypes = [
         _u8p, ctypes.c_void_p, ctypes.c_int64, _i32p,
@@ -273,6 +285,34 @@ def encode_runs(symbols, counts, cdfs, cdf_lengths, offsets,
         cap = -rc
 
 
+def encode_runs_segmented(symbols, seg_counts, cdfs, cdf_lengths, offsets,
+                          esym=None) -> bytes:
+    """Encode per-segment grouped-by-row symbols as ONE plain stream (the
+    wavefront v2 format): ``seg_counts`` is (n_segs, levels); segment s holds
+    the next sum(seg_counts[s]) symbols, grouped by CDF row. The stream is
+    consumed incrementally by StreamDecoder.decode_runs, one call per
+    segment."""
+    symbols = _as_i32(symbols).reshape(-1)
+    seg_counts = _as_i32(seg_counts)
+    assert seg_counts.ndim == 2
+    cdfs = _as_i32(cdfs)
+    lengths, offs = _as_i32(cdf_lengths), _as_i32(offsets)
+    n = symbols.shape[0]
+    cap = 4 * n + 1024
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        rc = _lib().stem_encode_runs_segmented(
+            symbols, n, seg_counts, seg_counts.shape[0], seg_counts.shape[1],
+            cdfs, cdfs.shape[1], lengths, offs, _esym_ptr(esym), out, cap,
+        )
+        if rc >= 0:
+            return out[:rc].tobytes()
+        if rc == -3:
+            raise ValueError("encode_runs_segmented: seg_counts must cover "
+                             "every symbol")
+        cap = -rc
+
+
 def decode_runs(data: bytes, counts, n: int, cdfs, cdf_lengths, offsets,
                 lut=None):
     """Decode a run-based container → dense int32 symbols (n,)."""
@@ -369,6 +409,24 @@ class StreamDecoder:
             )
         if rc != 0:
             raise ValueError(f"stream decode failed (rc={rc})")
+        return out
+
+    def decode_runs(self, counts, cdfs, cdf_lengths, offsets, lut=None):
+        """Decode the next segment of a runs-segmented stream: `counts`
+        (levels,) gives the per-CDF-row symbol counts in grouped order.
+        Returns int32 symbols (sum(counts),)."""
+        counts = _as_i32(counts).reshape(-1)
+        cdfs = _as_i32(cdfs)
+        lengths, offs = _as_i32(cdf_lengths), _as_i32(offsets)
+        n = int(counts.sum())
+        out = np.empty(n, dtype=np.int32)
+        lut_ptr, dom_ptr = _lut_ptrs(lut)
+        rc = _lib().stem_dec_decode_runs(
+            self._h, counts, counts.shape[0], n, cdfs, cdfs.shape[1],
+            lengths, offs, lut_ptr, dom_ptr, out,
+        )
+        if rc != 0:
+            raise ValueError(f"stream run decode failed (rc={rc})")
         return out
 
     def close(self):

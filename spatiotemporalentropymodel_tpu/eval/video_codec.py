@@ -16,7 +16,7 @@ model families:
   family 2  channel-autoregressive charm (models/charm.py) — group count and
             lrp/residual flags ride the header
 
-Container format v4 (big-endian, mirroring codec.py's conventions):
+Container format v5 (big-endian, mirroring codec.py's conventions):
 
   magic  b"STMV", u8 version
   u8 i_model_id, u8 i_quality
@@ -24,6 +24,10 @@ Container format v4 (big-endian, mirroring codec.py's conventions):
   u16 in_channels (M)
   u8 cfg0, u8 cfg1    family 1: wavefront tile (th, tw), (0,0) = untiled
                       family 2: (groups, flags bit0=lrp bit1=residual)
+  u8 flags            bit0 (family 1): wavefront stream symbol order —
+                      1 = v2 grouped-by-CDF-row per round (run-based
+                      coding), 0 = v1 lane order; decode configures the
+                      model's ``wavefront_format`` from it
   u64 stem_params_hash, u64 i_params_hash
                       (blake2b-8 over the weight pytrees: decoding with the
                        wrong/unspecified checkpoint fails loudly instead of
@@ -60,7 +64,7 @@ from ..ops.padding import pad_centered
 from .codec import _load_image, _read_uints, _write_uints
 
 MAGIC = b"STMV"
-VERSION = 4
+VERSION = 5
 UNSPECIFIED = 0xFF  # model ids for API users who pass models directly
 
 FAMILY_PARALLEL, FAMILY_WAVEFRONT, FAMILY_CHARM = 0, 1, 2
@@ -99,19 +103,19 @@ def read_header(f):
     (version,) = struct.unpack(">B", f.read(1))
     if version != VERSION:
         raise ValueError(
-            f"unsupported .stemv version {version} (this build reads v4; "
-            "v3 shipped raw u32 count vectors and v2 predates the run-based "
-            "stream format — neither has a decoder in this revision)"
+            f"unsupported .stemv version {version} (this build reads v5; "
+            "v4 predates the grouped wavefront stream order, v3 shipped raw "
+            "u32 count vectors — neither has a decoder in this revision)"
         )
-    i_id, i_q, family, sv_id, s_ch, m_ch, cfg0, cfg1 = struct.unpack(
-        ">4B2H2B", f.read(10)
+    i_id, i_q, family, sv_id, s_ch, m_ch, cfg0, cfg1, flags = struct.unpack(
+        ">4B2H3B", f.read(11)
     )
     stem_hash, i_hash = struct.unpack(">2Q", f.read(16))
     gop, n_frames, h, w = struct.unpack(">B3I", f.read(13))
     return {
         "i_model_id": i_id, "i_quality": i_q, "stem_family": family,
         "stem_variant_id": sv_id, "stem_channels": s_ch, "in_channels": m_ch,
-        "cfg0": cfg0, "cfg1": cfg1,
+        "cfg0": cfg0, "cfg1": cfg1, "flags": flags,
         "stem_params_hash": stem_hash, "i_params_hash": i_hash,
         "gop": gop, "n_frames": n_frames, "h": h, "w": w,
     }
@@ -294,12 +298,25 @@ def encode_video(frames, i_model, stem, output, gop: int = 12,
         cfg1 = (int(stem.module.lrp) | (int(stem.residual) << 1))
     else:
         cfg0 = cfg1 = 0
+    flags = 0
+    from ..models import ar_wavefront as _wf
+
+    # bit0 covers every wavefront stream in the file: the family-1 STEM
+    # streams and any AR I-frame model's (mbt2018/cheng) y streams — both
+    # resolve against the same process-wide coder
+    wf_model = stem if family == FAMILY_WAVEFRONT else (
+        i_model if hasattr(i_model, "wavefront_format") else None
+    )
+    if wf_model is not None and _wf.wire_format(
+        wf_model.wavefront_format, wf_model.coder
+    ) == "grouped":
+        flags |= 1
     ebc = stem.module.entropy_bottleneck_channels
     with Path(output).open("wb") as f:
         f.write(MAGIC + struct.pack(">B", VERSION))
         f.write(struct.pack(
-            ">4B2H2B", i_id, int(meta.get("i_quality", 0)) & 0xFF,
-            family, sv_id, ebc, stem.in_channels, cfg0, cfg1,
+            ">4B2H3B", i_id, int(meta.get("i_quality", 0)) & 0xFF,
+            family, sv_id, ebc, stem.in_channels, cfg0, cfg1, flags,
         ))
         f.write(struct.pack(">2Q", params_hash(stem), params_hash(i_model)))
         f.write(struct.pack(">B3I", gop, n_frames, h, w))
@@ -350,6 +367,12 @@ def decode_video(input_path, i_model, stem, output_dir=None, pipeline=None,
             f"supplied STEM model is family {_stem_family(stem)}, but the "
             f"file was encoded with family {family}"
         )
+    # decode wavefront streams in the symbol order the file was written in
+    wf_fmt = "grouped" if hdr["flags"] & 1 else "lane"
+    if family == FAMILY_WAVEFRONT:
+        stem.wavefront_format = wf_fmt
+    if hasattr(i_model, "wavefront_format"):
+        i_model.wavefront_format = wf_fmt
     if family == FAMILY_PARALLEL:
         pipe = pipeline or StemVideoPipeline(i_model, stem,
                                              transport_mode="sparse")

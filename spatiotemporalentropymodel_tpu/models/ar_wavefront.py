@@ -198,6 +198,65 @@ def untile_plane(x, b: int, h: int, w: int):
     return jnp.reshape(x, (b, h, w, m))
 
 
+def wire_format(fmt: str, coder) -> str:
+    """Resolve a model's ``wavefront_format`` ("auto"/"grouped"/"lane")
+    against the active coder's capabilities."""
+    if fmt == "auto":
+        return (
+            "grouped"
+            if getattr(coder, "supports_stream_runs", False)
+            else "lane"
+        )
+    if fmt == "grouped" and not getattr(coder, "supports_stream_runs", False):
+        raise ValueError(
+            "wavefront_format='grouped' needs a coder with stream-run "
+            f"support; {getattr(coder, 'name', coder)!r} has none"
+        )
+    return fmt
+
+
+def round_sizes(valid, nt: int, m: int) -> np.ndarray:
+    """Per-round flat symbol counts for one batch element: round t carries
+    nt·n_valid(t)·m symbols in the flattened wavefront order."""
+    v = np.asarray(valid)
+    return (v.sum(axis=1).astype(np.int64) * nt * m)
+
+
+def group_round_symbols(sym_flat, idx_flat, sizes, levels: int):
+    """Wavefront wire-format v2 host transform (encode side).
+
+    Permutes each round's symbols into grouped-by-CDF-row order (stable, so
+    both sides derive the identical permutation from the indexes) and
+    returns (sym_grouped (n,), seg_counts (T, levels) int32) for
+    ``encode_runs_segmented``. One radix argsort over the whole frame — the
+    per-round loop never touches Python."""
+    sym_flat = np.asarray(sym_flat).reshape(-1)
+    idx_flat = np.asarray(idx_flat, np.int64).reshape(-1)
+    sizes = np.asarray(sizes, np.int64)
+    t_of = np.repeat(np.arange(sizes.shape[0], dtype=np.int64), sizes)
+    key = t_of * levels + idx_flat
+    order = np.argsort(key, kind="stable")
+    seg_counts = np.bincount(
+        key, minlength=sizes.shape[0] * levels
+    ).astype(np.int32).reshape(sizes.shape[0], levels)
+    return sym_flat[order], seg_counts
+
+
+def decode_round_grouped(dec, idx_round, tables, lut=None):
+    """Wavefront v2 decode of one round: run-decode the segment in
+    grouped-by-row order, then scatter back to lane order. `dec` is a
+    StreamDecoder over an ``encode_runs_segmented`` stream."""
+    idx_round = np.asarray(idx_round, np.int64).reshape(-1)
+    levels = tables.cdf.shape[0]
+    counts = np.bincount(idx_round, minlength=levels).astype(np.int32)
+    decoded = dec.decode_runs(
+        counts, tables.cdf, tables.cdf_length, tables.offset, lut=lut
+    )
+    out = np.empty_like(decoded)
+    out[np.argsort(idx_round, kind="stable")] = decoded
+    return out
+
+
 def flatten_wavefront_grouped(planes, coords, valid, b: int):
     """(b·nt, th, tw, M) tile-batch planes → (b, nt·N·M) in ROUND-major
     (wavefront, tile, lane, channel) order — the wire order a per-round

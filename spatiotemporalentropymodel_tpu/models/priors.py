@@ -519,6 +519,9 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
         CompressionModel.__init__(self, JointAutoregressiveModule(N, M), **kw)
         self.N, self.M = N, M
         self.ar_mode = ar_mode
+        # "auto"/"grouped"/"lane" — see models/stem.py for the v2 grouped
+        # wavefront wire format; resolved by ar_wavefront.wire_format
+        self.wavefront_format = "auto"
         self._wavefront_cache: Dict[Any, Any] = {}
 
     # -- wavefront AR codec ---------------------------------------------------
@@ -552,15 +555,29 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
         sym_flat = wf.flatten_wavefront(syms, coords, valid)
         idx_flat = wf.flatten_wavefront(idxs, coords, valid)
         t = self.tables["gaussian_conditional"]
-        y_strings = [
-            self.coder.encode_with_indexes(
-                sym_flat[i], idx_flat[i], t.cdf, t.cdf_length, t.offset
-            )
-            for i in range(b)
-        ]
+        if wf.wire_format(self.wavefront_format, self.coder) == "grouped":
+            sizes = wf.round_sizes(valid, 1, self.M)
+            levels = t.cdf.shape[0]
+            y_strings = []
+            for i in range(b):
+                sym_g, seg_counts = wf.group_round_symbols(
+                    sym_flat[i], idx_flat[i], sizes, levels
+                )
+                y_strings.append(self.coder.encode_runs_segmented(
+                    sym_g, seg_counts, t.cdf, t.cdf_length, t.offset
+                ))
+        else:
+            y_strings = [
+                self.coder.encode_with_indexes(
+                    sym_flat[i], idx_flat[i], t.cdf, t.cdf_length, t.offset
+                )
+                for i in range(b)
+            ]
         return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
 
     def _decompress_wavefront(self, strings, params, hgt, wid):
+        from . import ar_wavefront as wf
+
         b = params.shape[0]
         m = self.M
         t = self.tables["gaussian_conditional"]
@@ -569,6 +586,7 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
         )
         valid_np = np.asarray(valid)
         decoders = [self.coder.make_stream_decoder(s) for s in strings[0]]
+        grouped = wf.wire_format(self.wavefront_format, self.coder) == "grouped"
         y_hat_pad = jnp.zeros((b, hgt + 4, wid + 4, m), jnp.float32)
         L = coords.shape[1]
         T = coords.shape[0]
@@ -579,9 +597,13 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
             idx_np = np.asarray(idx, np.int32)
             sym = np.zeros((b, L, m), np.int32)
             for i in range(b):
-                decoded = decoders[i].decode(
-                    idx_np[i, v].reshape(-1), t.cdf, t.cdf_length, t.offset
-                )
+                idx_r = idx_np[i, v].reshape(-1)
+                if grouped:
+                    decoded = wf.decode_round_grouped(decoders[i], idx_r, t)
+                else:
+                    decoded = decoders[i].decode(
+                        idx_r, t.cdf, t.cdf_length, t.offset
+                    )
                 sym[i, v] = decoded.reshape(n_valid, m)
             if ti + 1 < T:
                 y_hat_pad, means, idx = fused_step(

@@ -234,11 +234,23 @@ class SpatioTemporalPriorModel(CompressionModel):
             tuple(int(v) for v in wavefront_tile) if wavefront_tile else None
         )
         self._wavefront_cache = {}
+        # wavefront stream symbol order: "auto" picks "grouped" (v2:
+        # per-round grouped-by-CDF-row, run-based host coding — both sides
+        # derive the identical stable permutation from the indexes) when the
+        # coder supports it, else "lane" (v1: wavefront lane order,
+        # per-symbol indexed coding). The two formats are NOT bitstream
+        # compatible; .stemv records which one a file carries.
+        self.wavefront_format = "auto"
         # optional observability hook (training/logging.py StageTimer's codec
         # cousin): set to a dict and the wavefront codec paths accumulate
         # {"host_rans_s", "device_s", "rounds"} — bench.py's PCIe projection
         # splits host-coder from device+fetch cost with it
         self._codec_stats = None
+
+    def _wf_format(self) -> str:
+        from . import ar_wavefront as wf
+
+        return wf.wire_format(self.wavefront_format, self.coder)
 
     def _cast(self, x):
         if self.compute_dtype is not None:
@@ -665,13 +677,26 @@ class SpatioTemporalPriorModel(CompressionModel):
             st["enc_device_s"] = st.get("enc_device_s", 0.0) + (t1 - t0)
         t = self.tables["gaussian_conditional"]
         esym = entropy_base.get_enc_table(t, self.coder)
-        y_strings = [
-            self.coder.encode_with_indexes(
-                sym_flat[i], idx_flat[i], t.cdf, t.cdf_length, t.offset,
-                esym=esym,
-            )
-            for i in range(b)
-        ]
+        if self._wf_format() == "grouped":
+            sizes = wf.round_sizes(valid, nt, m)
+            levels = t.cdf.shape[0]
+            y_strings = []
+            for i in range(b):
+                sym_g, seg_counts = wf.group_round_symbols(
+                    sym_flat[i], idx_flat[i], sizes, levels
+                )
+                y_strings.append(self.coder.encode_runs_segmented(
+                    sym_g, seg_counts, t.cdf, t.cdf_length, t.offset,
+                    esym=esym,
+                ))
+        else:
+            y_strings = [
+                self.coder.encode_with_indexes(
+                    sym_flat[i], idx_flat[i], t.cdf, t.cdf_length, t.offset,
+                    esym=esym,
+                )
+                for i in range(b)
+            ]
         if st is not None:
             st["enc_host_s"] = (st.get("enc_host_s", 0.0)
                                 + time.perf_counter() - t1)
@@ -703,6 +728,7 @@ class SpatioTemporalPriorModel(CompressionModel):
         # uniformly: ONE dispatch + one u8 idx fetch per wavefront; with
         # tiling, all nt tiles decode inside the same round
         st = self._codec_stats
+        grouped = self._wf_format() == "grouped"
         means, idx = params_step(target_pad, priors, coords[0])
         for ti in range(T):
             v = valid_np[ti]
@@ -714,10 +740,15 @@ class SpatioTemporalPriorModel(CompressionModel):
                 st["device_s"] = st.get("device_s", 0.0) + (t1 - t0)
             sym = np.zeros((b, nt, L, m), np.int32)
             for i in range(b):
-                decoded = decoders[i].decode(
-                    idx_np[i][:, v].reshape(-1), t.cdf, t.cdf_length,
-                    t.offset, lut=lut,
-                )
+                idx_r = idx_np[i][:, v].reshape(-1)
+                if grouped:
+                    decoded = wf.decode_round_grouped(
+                        decoders[i], idx_r, t, lut=lut
+                    )
+                else:
+                    decoded = decoders[i].decode(
+                        idx_r, t.cdf, t.cdf_length, t.offset, lut=lut,
+                    )
                 sym[i][:, v] = decoded.reshape(nt, n_valid, m)
             if st is not None:
                 st["host_rans_s"] = (st.get("host_rans_s", 0.0)

@@ -50,6 +50,113 @@ def _random_payload(tables, n=2500, escapes=True, seed=0):
     return symbols, indexes
 
 
+def _segment_payload(tables, n_segs=6, seed=3):
+    """Random grouped-order segments: returns (symbols, seg_counts) where
+    segment s holds sum(seg_counts[s]) symbols grouped by CDF row."""
+    cdf, cdf_lengths, offsets = tables
+    rng = np.random.default_rng(seed)
+    levels = cdf.shape[0]
+    seg_counts = np.zeros((n_segs, levels), np.int32)
+    chunks = []
+    for s in range(n_segs):
+        if s == 2:
+            continue  # one empty segment (tiled rounds can be empty)
+        rows = rng.integers(0, levels, int(rng.integers(10, 400)))
+        cnt = np.bincount(rows, minlength=levels).astype(np.int32)
+        seg_counts[s] = cnt
+        for r in range(levels):
+            if cnt[r]:
+                lo = offsets[r]
+                hi = offsets[r] + cdf_lengths[r] - 2
+                v = (lo + rng.integers(0, 1 << 16, cnt[r])
+                     % max(hi - lo, 1)).astype(np.int32)
+                v[::7] += rng.integers(1, 300, v[::7].shape[0])  # escapes
+                chunks.append(v)
+    return np.concatenate(chunks).astype(np.int32), seg_counts
+
+
+class TestSegmentedRuns:
+    """Wavefront v2 coder primitives: single-stream segmented run encoding
+    (models/ar_wavefront.py group_round_symbols order) consumed round-by-
+    round via StreamDecoder.decode_runs."""
+
+    def test_byte_identity_with_indexed_encoder(self, tables):
+        cdf, cdf_lengths, offsets = tables
+        syms, seg_counts = _segment_payload(tables)
+        stream = native.encode_runs_segmented(
+            syms, seg_counts, cdf, cdf_lengths, offsets
+        )
+        idx_seq = np.concatenate([
+            np.repeat(np.arange(cdf.shape[0], dtype=np.int32), seg_counts[s])
+            for s in range(seg_counts.shape[0])
+        ])
+        ref = native.encode_with_indexes(
+            syms, idx_seq, cdf, cdf_lengths, offsets
+        )
+        assert stream == ref
+        # esym (reciprocal-multiply) path is byte-identical too
+        esym = native.build_enc_table(cdf, cdf_lengths)
+        assert native.encode_runs_segmented(
+            syms, seg_counts, cdf, cdf_lengths, offsets, esym=esym
+        ) == ref
+
+    @pytest.mark.parametrize("use_lut", [False, True])
+    def test_stream_roundtrip_per_segment(self, tables, use_lut):
+        cdf, cdf_lengths, offsets = tables
+        syms, seg_counts = _segment_payload(tables, seed=11)
+        stream = native.encode_runs_segmented(
+            syms, seg_counts, cdf, cdf_lengths, offsets
+        )
+        lut = native.build_lut(cdf, cdf_lengths) if use_lut else None
+        dec = native.StreamDecoder(stream)
+        out = []
+        for s in range(seg_counts.shape[0]):
+            out.append(dec.decode_runs(
+                seg_counts[s], cdf, cdf_lengths, offsets, lut=lut
+            ))
+        assert np.array_equal(np.concatenate(out), syms)
+
+    def test_counts_must_cover(self, tables):
+        cdf, cdf_lengths, offsets = tables
+        syms, seg_counts = _segment_payload(tables, seed=5)
+        with pytest.raises(ValueError):
+            native.encode_runs_segmented(
+                syms[:-1], seg_counts, cdf, cdf_lengths, offsets
+            )
+
+    def test_host_grouping_helpers_invert(self, tables):
+        """group_round_symbols (encode) and decode_round_grouped's scatter
+        (decode) derive the identical stable permutation from the indexes."""
+        from spatiotemporalentropymodel_tpu.entropy.tables import CodecTables
+        from spatiotemporalentropymodel_tpu.models import ar_wavefront as wf
+
+        cdf, cdf_lengths, offsets = tables
+        rng = np.random.default_rng(9)
+        sizes = np.array([160, 0, 320, 80], np.int64)
+        n = int(sizes.sum())
+        idx_flat = rng.integers(0, cdf.shape[0], n).astype(np.int32)
+        sym_flat, _ = _random_payload(tables, n=n, seed=13)
+        sym_g, seg_counts = wf.group_round_symbols(
+            sym_flat, idx_flat, sizes, cdf.shape[0]
+        )
+        assert seg_counts.sum() == n
+        t = CodecTables(
+            cdf=cdf, cdf_length=cdf_lengths, offset=offsets,
+            scale_table=np.zeros(cdf.shape[0]),
+        )
+        stream = native.encode_runs_segmented(
+            sym_g, seg_counts, cdf, cdf_lengths, offsets
+        )
+        dec = native.StreamDecoder(stream)
+        base = 0
+        for s, sz in enumerate(sizes):
+            got = wf.decode_round_grouped(
+                dec, idx_flat[base:base + sz], t
+            )
+            assert np.array_equal(got, sym_flat[base:base + sz])
+            base += sz
+
+
 class TestGoldenBitstream:
     """Frozen wire-format fixtures: any byte change here is a format break
     (the single-stream format is the reference-compatible one)."""

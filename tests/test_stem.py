@@ -169,6 +169,40 @@ class TestCodec:
             np.asarray(dec["y_hat"]), np.asarray(expected), atol=1e-5
         )
 
+    @pytest.mark.slow
+    def test_wavefront_format_v2_equivalence(self):
+        """The grouped (v2) wavefront wire format must decode to the exact
+        same latents as the v1 lane order, at the same rate (rANS rate is
+        order-invariant), from genuinely different bytes."""
+        m = SpatioTemporalPriorModel(
+            variant="res", entropy_bottleneck_channels=EBC, in_channels=M,
+            ar_mode="wavefront", wavefront_tile=(4, 4),
+        )
+        y_cur, y_cond = _latents(hw=8)
+        m.init(y_cur, y_cond)
+        m.update()
+
+        outs = {}
+        for fmt in ("lane", "grouped"):
+            m.wavefront_format = fmt
+            enc = m.compress(y_cur, y_cond)
+            dec = m.decompress(enc["strings"], enc["shape"], y_cond)
+            outs[fmt] = (enc["strings"][0][0], np.asarray(dec["y_hat"]))
+        np.testing.assert_allclose(
+            outs["lane"][1], outs["grouped"][1], atol=1e-5
+        )
+        len_l, len_g = len(outs["lane"][0]), len(outs["grouped"][0])
+        assert abs(len_l - len_g) <= max(16, 0.02 * len_l)
+        assert outs["lane"][0] != outs["grouped"][0]
+
+    def test_wavefront_grouped_needs_capable_coder(self):
+        from spatiotemporalentropymodel_tpu.models import ar_wavefront as wf
+
+        stub = type("C", (), {"name": "stub"})()
+        with pytest.raises(ValueError, match="stream-run"):
+            wf.wire_format("grouped", stub)
+        assert wf.wire_format("auto", stub) == "lane"
+
     def test_wavefront_tile_must_divide(self):
         m = SpatioTemporalPriorModel(
             variant="res", entropy_bottleneck_channels=EBC, in_channels=M,
