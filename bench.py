@@ -390,16 +390,28 @@ def run_wavefront(budget_left, tile=None) -> dict:
     # round pays ~2 RPCs of latency that a PCIe host doesn't.
     rpc_ms = 35.0
     host_dec_ms = 1e3 * stats.get("host_rans_s", 0.0)
+    # host rANS for the projection: the standalone measurement when main()
+    # took one (in-situ shares the core with the tunnel client's I/O threads
+    # and reads ~2x high), charged per-round-call overhead for this tile
+    if _WF_HOST is not None:
+        host_dec_pcie = (_WF_HOST["dec_ms"]
+                         + n_rounds * _WF_HOST["dec_round_call_us"] / 1e3)
+        enc_host_pcie = _WF_HOST["enc_ms"]
+    else:
+        host_dec_pcie = host_dec_ms
+        enc_host_pcie = None  # filled from in-situ below
     dev_round_ms = 1e3 * stats.get("device_s", 0.0) / n_rounds
     if dev_round_measured is not None:
         dev_round_pcie = dev_round_measured
     else:
         dev_round_pcie = max(dev_round_ms - 2 * rpc_ms, 0.4)
-    pcie_dec_ms = n_rounds * (dev_round_pcie + 0.6) + host_dec_ms
+    pcie_dec_ms = n_rounds * (dev_round_pcie + 0.6) + host_dec_pcie
     # encode: one scan dispatch + ~12 MB sym/idx fetch (host-coder order
     # rebuild) + host rANS; the tunnel fetch (~25 MB/s) becomes ~1 ms on PCIe
     enc_dev_s = stats.get("enc_device_s", 0.0)
     enc_host_ms = 1e3 * stats.get("enc_host_s", 0.0)
+    if enc_host_pcie is None:
+        enc_host_pcie = enc_host_ms
     fetch_bytes = 2 * (H // 16) * (W // 16) * M * 4
     enc_dev_pcie = max(
         1e3 * enc_dev_s - fetch_bytes / 25e6 * 1e3 - 2 * rpc_ms, 4.0
@@ -431,14 +443,18 @@ def run_wavefront(budget_left, tile=None) -> dict:
                            "(device_round_ms_measured) when available, else "
                            "measured round minus 2x35 ms tunnel RPC (floor "
                            "0.4 ms); + 0.6 ms dispatch+transfer per round; "
-                           "host rANS as measured (serial with rounds — AR "
-                           "dependency); encode fetch re-priced from "
-                           "~25 MB/s tunnel to PCIe",
+                           "host rANS from the STANDALONE measurement "
+                           "(wavefront_host_coder_standalone — in-situ "
+                           "timings share the core with the tunnel client "
+                           "and read ~2x high), serial with rounds (AR "
+                           "dependency), + measured per-round-call overhead; "
+                           "encode fetch re-priced from ~25 MB/s tunnel to "
+                           "PCIe",
             "dec_ms": round(pcie_dec_ms, 1),
-            "enc_ms": round(enc_dev_pcie + enc_host_ms, 1),
+            "enc_ms": round(enc_dev_pcie + enc_host_pcie, 1),
             "dec_fps": round(1e3 / pcie_dec_ms, 1),
             "enc_dec_fps": round(
-                1e3 / (pcie_dec_ms + enc_dev_pcie + enc_host_ms), 1
+                1e3 / (pcie_dec_ms + enc_dev_pcie + enc_host_pcie), 1
             ),
         },
         "pcie_projection_fps": round(1e3 / pcie_dec_ms, 2),
@@ -767,25 +783,15 @@ def run_trained_weights() -> dict:
     }
 
 
-def measure_host_coder() -> dict:
-    """Host-coder cost measured STANDALONE, before any device traffic.
-
-    In-situ stage timings share the single core with the tunnel client's
-    serialization/streaming threads and read 5-10x high; a real serving host
-    gives the coder its own cores, so the PCIe projection uses this clean
-    measurement (symbol statistics mirror the realistic workload: ~12%
-    nonzeros, rows 0-30)."""
-    from spatiotemporalentropymodel_tpu.entropy import transport as tp
+def _realistic_symbols(seed: int = 0):
+    """Realistic per-frame (symbols, indexes, tables) mirroring
+    realistic_stem's channel statistics: ~93% of channels at the σ floor,
+    the rest log-uniform in [0.2, 1.8]; symbols ~ round(N(0, σ))."""
     from spatiotemporalentropymodel_tpu.entropy.gaussian import update_tables
 
-    from spatiotemporalentropymodel_tpu.coders import get_coder
-
     tables = update_tables()
-    coder = get_coder()
     hw = (H // 16) * (W // 16)
-    rng = np.random.default_rng(0)
-    # mirror realistic_stem's channel statistics: ~93% of channels at the
-    # σ floor, the rest log-uniform in [0.2, 1.8]; symbols ~ round(N(0, σ))
+    rng = np.random.default_rng(seed)
     sigma_c = np.full(M, 0.05)
     active = rng.random(M) < 0.07
     sigma_c[active] = np.exp(rng.uniform(np.log(0.2), np.log(1.8),
@@ -796,8 +802,27 @@ def measure_host_coder() -> dict:
         table[:-1], np.maximum(sigma, table[0]), side="left"
     ).astype(np.int32)
     sym_flat = np.round(rng.normal(0.0, sigma)).astype(np.int32)
+    return sym_flat, idx, tables
+
+
+def measure_host_coder() -> dict:
+    """Host-coder cost measured STANDALONE, before any device traffic.
+
+    In-situ stage timings share the single core with the tunnel client's
+    serialization/streaming threads and read 2-10x high; a real serving host
+    gives the coder its own cores, so the PCIe projection uses this clean
+    measurement (symbol statistics mirror the realistic workload: ~12%
+    nonzeros, rows 0-30)."""
+    from spatiotemporalentropymodel_tpu.entropy import transport as tp
+
+    from spatiotemporalentropymodel_tpu.coders import get_coder
+
+    coder = get_coder()
+    sym_flat, idx, tables = _realistic_symbols()
     order = np.argsort(idx, kind="stable")
-    counts = np.bincount(idx, minlength=table.size).astype(np.int32)[None]
+    counts = np.bincount(
+        idx, minlength=tables.cdf.shape[0]
+    ).astype(np.int32)[None]
     sym = sym_flat[order][None]
     n = sym.shape[1]
 
@@ -826,6 +851,61 @@ def measure_host_coder() -> dict:
         decpack_ms = dec_ms + pack_ms
     return {"enc_ms": enc_ms, "dec_pack_ms": decpack_ms,
             "total_ms": round(enc_ms + decpack_ms, 2)}
+
+
+# standalone wavefront host-coder measurement, filled by main() BEFORE any
+# device traffic; run_wavefront's PCIe projection uses it instead of the
+# in-situ stage timings (which share the one core with the tunnel client's
+# I/O threads and read ~2x high even against the v1 standalone numbers —
+# tools/wavefront_coder_bench.py)
+_WF_HOST = None
+
+
+def measure_wavefront_host_coder() -> dict:
+    """Standalone v1 (lane-order) wavefront host-coder cost per 1080p frame:
+    one indexed encode over the frame, stream decode split across rounds.
+    The decode split itself is timing-neutral; the per-call overhead is
+    measured separately (321-round split) so projections can charge
+    dec_ms + rounds·call_us for any tile config."""
+    from spatiotemporalentropymodel_tpu.coders import get_coder
+    from spatiotemporalentropymodel_tpu.entropy import base as eb
+
+    coder = get_coder()
+    sym, idx, tables = _realistic_symbols(seed=1)
+    esym = eb.get_enc_table(tables, coder)
+    lut = eb.get_lut(tables, coder)
+    n = sym.size
+
+    def t3(fn):
+        fn(), fn()
+        vals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = fn()
+            vals.append(time.perf_counter() - t0)
+        return r, 1e3 * float(np.median(vals))
+
+    s, enc_ms = t3(lambda: coder.encode_with_indexes(
+        sym, idx, tables.cdf, tables.cdf_length, tables.offset, esym=esym
+    ))
+
+    def dec(rounds: int):
+        d = coder.make_stream_decoder(s)
+        bounds = np.linspace(0, n, rounds + 1).astype(np.int64)
+        return [
+            d.decode(idx[bounds[t]:bounds[t + 1]], tables.cdf,
+                     tables.cdf_length, tables.offset, lut=lut)
+            for t in range(rounds)
+        ]
+
+    _, dec4_ms = t3(lambda: dec(4))
+    _, dec321_ms = t3(lambda: dec(321))
+    call_us = max(0.0, (dec321_ms - dec4_ms) / 317.0 * 1e3)
+    return {
+        "enc_ms": round(enc_ms, 2),
+        "dec_ms": round(dec4_ms, 2),
+        "dec_round_call_us": round(call_us, 1),
+    }
 
 
 def pcie_projection(pipe_res, device_res, host_coder) -> dict:
@@ -901,6 +981,12 @@ def main():
             extras["host_coder_standalone"] = measure_host_coder()
         except Exception as e:  # pragma: no cover
             extras["host_coder_error"] = repr(e)[:200]
+    try:  # feeds every wavefront projection; also before device traffic
+        global _WF_HOST
+        _WF_HOST = measure_wavefront_host_coder()
+        extras["wavefront_host_coder_standalone"] = _WF_HOST
+    except Exception as e:  # pragma: no cover
+        extras["wavefront_host_coder_error"] = repr(e)[:200]
     for b in (1, 2, 4):
         if not on("pipeline"):
             break

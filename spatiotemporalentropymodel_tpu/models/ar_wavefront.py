@@ -200,13 +200,17 @@ def untile_plane(x, b: int, h: int, w: int):
 
 def wire_format(fmt: str, coder) -> str:
     """Resolve a model's ``wavefront_format`` ("auto"/"grouped"/"lane")
-    against the active coder's capabilities."""
+    against the active coder's capabilities.
+
+    "auto" resolves to "lane": the grouped (v2) order needs a host-side
+    stable permutation per frame whose NumPy cost (argsort 20 ms + scatter
+    10 ms + bincount 9 ms at 1.57M symbols, tools/wavefront_coder_bench.py)
+    is ~4× the ENTIRE v1 coding cost (5.5 ms enc + 6.5 ms dec standalone
+    with the reciprocal-encode and dominant-symbol tables), so v2 only pays
+    off for coders without those tables. It stays available as an explicit
+    opt-in and a tested wire format (.stemv v5 records the order)."""
     if fmt == "auto":
-        return (
-            "grouped"
-            if getattr(coder, "supports_stream_runs", False)
-            else "lane"
-        )
+        return "lane"
     if fmt == "grouped" and not getattr(coder, "supports_stream_runs", False):
         raise ValueError(
             "wavefront_format='grouped' needs a coder with stream-run "

@@ -234,12 +234,12 @@ class SpatioTemporalPriorModel(CompressionModel):
             tuple(int(v) for v in wavefront_tile) if wavefront_tile else None
         )
         self._wavefront_cache = {}
-        # wavefront stream symbol order: "auto" picks "grouped" (v2:
-        # per-round grouped-by-CDF-row, run-based host coding — both sides
-        # derive the identical stable permutation from the indexes) when the
-        # coder supports it, else "lane" (v1: wavefront lane order,
-        # per-symbol indexed coding). The two formats are NOT bitstream
-        # compatible; .stemv records which one a file carries.
+        # wavefront stream symbol order: "lane" (v1 default — wavefront lane
+        # order, per-symbol indexed coding) or "grouped" (v2 — per-round
+        # grouped-by-CDF-row run coding; measured SLOWER on the host at 1080p
+        # because the per-frame stable permutation costs ~4× the coding
+        # itself, see ar_wavefront.wire_format). NOT bitstream compatible
+        # with each other; .stemv records which one a file carries.
         self.wavefront_format = "auto"
         # optional observability hook (training/logging.py StageTimer's codec
         # cousin): set to a dict and the wavefront codec paths accumulate
