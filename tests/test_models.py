@@ -185,6 +185,24 @@ class TestAutoregressiveCodec:
             np.asarray(dec_wf["y_hat"]), np.asarray(dec_s["y_hat"]), atol=1e-4
         )
 
+    def test_joint_ar_wavefront_format_v2(self):
+        """mbt2018's grouped (v2) wavefront order decodes to the same latents
+        as the default lane order from different bytes."""
+        m = JointAutoregressiveHierarchicalPriors(8, 12, ar_mode="wavefront")
+        x = _image(hw=64)
+        m.init(x)
+        m.update()
+        outs = {}
+        for fmt in ("lane", "grouped"):
+            m.wavefront_format = fmt
+            enc = m.compress(x)
+            dec = m.decompress(enc["strings"], enc["shape"])
+            outs[fmt] = (enc["strings"][0][0], np.asarray(dec["y_hat"]))
+        np.testing.assert_allclose(
+            outs["lane"][1], outs["grouped"][1], atol=1e-5
+        )
+        assert outs["lane"][0] != outs["grouped"][0]
+
     def test_cheng2020_forward(self):
         m = Cheng2020Anchor(16)
         x = _image(hw=64)
