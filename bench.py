@@ -394,8 +394,11 @@ def run_wavefront(budget_left, tile=None) -> dict:
     # took one (in-situ shares the core with the tunnel client's I/O threads
     # and reads ~2x high), charged per-round-call overhead for this tile
     if _WF_HOST is not None:
+        # dec_ms was measured as a 4-round split, so only rounds beyond
+        # those 4 add per-call overhead
         host_dec_pcie = (_WF_HOST["dec_ms"]
-                         + n_rounds * _WF_HOST["dec_round_call_us"] / 1e3)
+                         + max(n_rounds - 4, 0)
+                         * _WF_HOST["dec_round_call_us"] / 1e3)
         enc_host_pcie = _WF_HOST["enc_ms"]
     else:
         host_dec_pcie = host_dec_ms

@@ -4,7 +4,14 @@
 
   encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets) -> bytes
   decode_with_indexes(data, indexes, cdfs, cdf_lengths, offsets) -> int32[n]
+  encode_stream(symbols, indexes, ...) -> bytes   single plain-stream format
   make_stream_decoder(data) -> StreamDecoder (for autoregressive decode)
+
+encode_with_indexes/decode_with_indexes are a matched pair in each backend's
+own container (rans_interleaved wraps multi-lane containers). Autoregressive
+paths that decode incrementally MUST pair encode_stream with
+make_stream_decoder — StreamDecoder only reads the plain single-stream
+format, never a lane container.
 
 Backends:
   "rans"             — native C++ single-stream; bitstream-compatible with the
@@ -45,6 +52,13 @@ class NumpyCoder:
             cdfs,
             np.asarray(cdf_lengths, dtype=np.int32),
             np.asarray(offsets, dtype=np.int32),
+        )
+
+    def encode_stream(self, symbols, indexes, cdfs, cdf_lengths, offsets,
+                      esym=None):
+        del esym  # spec path has no acceleration tables
+        return self.encode_with_indexes(
+            symbols, indexes, cdfs, cdf_lengths, offsets
         )
 
     def make_stream_decoder(self, data):
@@ -94,6 +108,16 @@ class NativeCoder:
                     esym=None):
         return self._rans.encode_runs(
             symbols, counts, cdfs, cdf_lengths, offsets, self.n_lanes, esym
+        )
+
+    def encode_stream(self, symbols, indexes, cdfs, cdf_lengths, offsets,
+                      esym=None):
+        """Plain single-stream encode — the ONLY format make_stream_decoder
+        reads. Deliberately not overridden by InterleavedCoder (whose
+        encode_with_indexes emits a multi-lane container that a stream
+        decoder would silently mis-parse as symbols)."""
+        return self._rans.encode_with_indexes(
+            symbols, indexes, cdfs, cdf_lengths, offsets, esym
         )
 
     def encode_runs_segmented(self, symbols, seg_counts, cdfs, cdf_lengths,

@@ -302,14 +302,21 @@ def encode_video(frames, i_model, stem, output, gop: int = 12,
     from ..models import ar_wavefront as _wf
 
     # bit0 covers every wavefront stream in the file: the family-1 STEM
-    # streams and any AR I-frame model's (mbt2018/cheng) y streams — both
-    # resolve against the same process-wide coder
-    wf_model = stem if family == FAMILY_WAVEFRONT else (
-        i_model if hasattr(i_model, "wavefront_format") else None
-    )
-    if wf_model is not None and _wf.wire_format(
-        wf_model.wavefront_format, wf_model.coder
-    ) == "grouped":
+    # streams and any AR I-frame model's (mbt2018/cheng) y streams — one
+    # flag, so the two models must agree at encode time
+    fmts = {
+        name: _wf.wire_format(m.wavefront_format, m.coder)
+        for name, m in (("stem", stem), ("i_model", i_model))
+        if (name == "stem" and family == FAMILY_WAVEFRONT)
+        or (name == "i_model" and hasattr(m, "wavefront_format"))
+    }
+    if len(set(fmts.values())) > 1:
+        raise ValueError(
+            f"wavefront stream orders disagree ({fmts}); the .stemv header "
+            "records ONE order for the whole file — set both models' "
+            "wavefront_format to the same value"
+        )
+    if "grouped" in fmts.values():
         flags |= 1
     ebc = stem.module.entropy_bottleneck_channels
     with Path(output).open("wb") as f:
@@ -368,10 +375,15 @@ def decode_video(input_path, i_model, stem, output_dir=None, pipeline=None,
             f"file was encoded with family {family}"
         )
     # decode wavefront streams in the symbol order the file was written in
+    # (models are restored afterwards — decoding a file must not silently
+    # reconfigure the caller's encoders)
     wf_fmt = "grouped" if hdr["flags"] & 1 else "lane"
+    saved_fmt = {}
     if family == FAMILY_WAVEFRONT:
+        saved_fmt[stem] = stem.wavefront_format
         stem.wavefront_format = wf_fmt
     if hasattr(i_model, "wavefront_format"):
+        saved_fmt[i_model] = i_model.wavefront_format
         i_model.wavefront_format = wf_fmt
     if family == FAMILY_PARALLEL:
         pipe = pipeline or StemVideoPipeline(i_model, stem,
@@ -381,30 +393,34 @@ def decode_video(input_path, i_model, stem, output_dir=None, pipeline=None,
     t0 = time.time()
     frames = []
     y_cond = None
-    for ftype, shape, counts, strings in records:
-        if ftype == FTYPE_I:
-            dec = i_model.decompress(strings, shape)
-            if "y_hat" not in dec:
-                raise ValueError(
-                    f"I-frame model {type(i_model).__name__} does not expose "
-                    "the latent in decompress(); use a mean-scale family "
-                    "model (mbt2018-mean) for .stemv decode"
-                )
-            x_hat, y_cond = dec["x_hat"], dec["y_hat"]
-        elif family == FAMILY_PARALLEL:
-            enc = {"strings": strings, "shape": shape,
-                   "transport": ("sparse" if ftype == FTYPE_P_SPARSE
-                                 else "dense")}
-            if ftype == FTYPE_P_SPARSE:
-                enc["counts"] = counts[None]  # batch of one sequence
-            x_hat, y_cond = pipe.decode_frame(enc, y_cond=y_cond)
-        else:
-            x_hat, y_cond = pipe.decode(ftype, shape, counts, strings,
-                                        y_cond)
-        x_np = np.asarray(x_hat)[0]
-        ph, pw = x_np.shape[0], x_np.shape[1]
-        top, left = (ph - h) // 2, (pw - w) // 2
-        frames.append(x_np[top:top + h, left:left + w])
+    try:
+        for ftype, shape, counts, strings in records:
+            if ftype == FTYPE_I:
+                dec = i_model.decompress(strings, shape)
+                if "y_hat" not in dec:
+                    raise ValueError(
+                        f"I-frame model {type(i_model).__name__} does not "
+                        "expose the latent in decompress(); use a mean-scale "
+                        "family model (mbt2018-mean) for .stemv decode"
+                    )
+                x_hat, y_cond = dec["x_hat"], dec["y_hat"]
+            elif family == FAMILY_PARALLEL:
+                enc = {"strings": strings, "shape": shape,
+                       "transport": ("sparse" if ftype == FTYPE_P_SPARSE
+                                     else "dense")}
+                if ftype == FTYPE_P_SPARSE:
+                    enc["counts"] = counts[None]  # batch of one sequence
+                x_hat, y_cond = pipe.decode_frame(enc, y_cond=y_cond)
+            else:
+                x_hat, y_cond = pipe.decode(ftype, shape, counts, strings,
+                                            y_cond)
+            x_np = np.asarray(x_hat)[0]
+            ph, pw = x_np.shape[0], x_np.shape[1]
+            top, left = (ph - h) // 2, (pw - w) // 2
+            frames.append(x_np[top:top + h, left:left + w])
+    finally:
+        for m, fmt in saved_fmt.items():
+            m.wavefront_format = fmt
     print(f"{len(frames)} frames decoded in {time.time() - t0:.2f}s "
           f"(gop {gop})")
 

@@ -568,7 +568,7 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
                 ))
         else:
             y_strings = [
-                self.coder.encode_with_indexes(
+                self.coder.encode_stream(
                     sym_flat[i], idx_flat[i], t.cdf, t.cdf_length, t.offset
                 )
                 for i in range(b)
@@ -679,7 +679,7 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
             syms = np.stack([s[i] for s in symbols_all]).reshape(-1)
             idxs = np.stack([ix[i] for ix in indexes_all]).reshape(-1)
             y_strings.append(
-                self.coder.encode_with_indexes(
+                self.coder.encode_stream(
                     syms, idxs, t.cdf, t.cdf_length, t.offset
                 )
             )

@@ -691,7 +691,7 @@ class SpatioTemporalPriorModel(CompressionModel):
                 ))
         else:
             y_strings = [
-                self.coder.encode_with_indexes(
+                self.coder.encode_stream(
                     sym_flat[i], idx_flat[i], t.cdf, t.cdf_length, t.offset,
                     esym=esym,
                 )
@@ -831,8 +831,8 @@ class SpatioTemporalPriorModel(CompressionModel):
             syms = np.stack([s[i] for s in symbols_all]).reshape(-1)
             idxs = np.stack([ix[i] for ix in indexes_all]).reshape(-1)
             y_strings.append(
-                self.coder.encode_with_indexes(syms, idxs, t.cdf, t.cdf_length,
-                                               t.offset)
+                self.coder.encode_stream(syms, idxs, t.cdf, t.cdf_length,
+                                         t.offset)
             )
         return {"strings": [y_strings, z_strings], "shape": tuple(z.shape[1:3])}
 

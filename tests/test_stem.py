@@ -195,6 +195,36 @@ class TestCodec:
         assert abs(len_l - len_g) <= max(16, 0.02 * len_l)
         assert outs["lane"][0] != outs["grouped"][0]
 
+    @pytest.mark.slow
+    def test_wavefront_roundtrip_interleaved_coder(self):
+        """AR paths must emit the plain stream format under EVERY coder:
+        rans_interleaved's encode_with_indexes writes a multi-lane container
+        that a StreamDecoder would silently mis-parse as symbols (the bench
+        pins that coder), so compress must route through encode_stream."""
+        m = SpatioTemporalPriorModel(
+            variant="res", entropy_bottleneck_channels=EBC, in_channels=M,
+            ar_mode="wavefront", wavefront_tile=(4, 4),
+            entropy_coder="rans_interleaved",
+        )
+        y_cur, y_cond = _latents(hw=8)
+        m.init(y_cur, y_cond)
+        m.update()
+        enc = m.compress(y_cur, y_cond)
+        dec = m.decompress(enc["strings"], enc["shape"], y_cond)
+
+        m2 = SpatioTemporalPriorModel(
+            variant="res", entropy_bottleneck_channels=EBC, in_channels=M,
+            ar_mode="wavefront", wavefront_tile=(4, 4), entropy_coder="rans",
+        )
+        m2.params, m2.tables = m.params, m.tables
+        enc2 = m2.compress(y_cur, y_cond)
+        dec2 = m2.decompress(enc2["strings"], enc2["shape"], y_cond)
+        # identical latents; the y stream itself is the same plain format
+        np.testing.assert_allclose(
+            np.asarray(dec["y_hat"]), np.asarray(dec2["y_hat"]), atol=1e-5
+        )
+        assert enc["strings"][0][0] == enc2["strings"][0][0]
+
     def test_wavefront_grouped_needs_capable_coder(self):
         from spatiotemporalentropymodel_tpu.models import ar_wavefront as wf
 

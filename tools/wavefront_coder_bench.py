@@ -29,27 +29,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")  # host-only measurement
 
-H, W, M = 1088, 1920, 192  # padded 1080p geometry, bench.py's constants
-
-
-def realistic_symbols(hw: int, m: int, seed: int = 0):
-    """bench.py::measure_host_coder's channel statistics."""
-    from spatiotemporalentropymodel_tpu.entropy.gaussian import update_tables
-
-    tables = update_tables()
-    rng = np.random.default_rng(seed)
-    sigma_c = np.full(m, 0.05)
-    active = rng.random(m) < 0.07
-    sigma_c[active] = np.exp(
-        rng.uniform(np.log(0.2), np.log(1.8), active.sum())
-    )
-    sigma = np.broadcast_to(sigma_c, (hw, m)).reshape(-1)
-    table = np.asarray(tables.scale_table)
-    idx = np.searchsorted(
-        table[:-1], np.maximum(sigma, table[0]), side="left"
-    ).astype(np.int32)
-    sym = np.round(rng.normal(0.0, sigma)).astype(np.int32)
-    return sym, idx, tables
+from bench import H, M, W, _realistic_symbols  # noqa: E402  shared workload
 
 
 def round_layout(tile, m: int):
@@ -84,8 +64,7 @@ def main():
     from spatiotemporalentropymodel_tpu.models import ar_wavefront as wf
 
     coder = get_coder()
-    hw = (H // 16) * (W // 16)
-    sym, idx, tables = realistic_symbols(hw, M)
+    sym, idx, tables = _realistic_symbols()
     sizes = round_layout(args.tile, M)
     assert int(sizes.sum()) == sym.size
     bounds = np.concatenate([[0], np.cumsum(sizes)])
