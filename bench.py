@@ -371,6 +371,16 @@ def run_wavefront(budget_left, tile=None) -> dict:
     dec_t = time.perf_counter() - t0
     jax.block_until_ready(dec["y_hat"])
     stem._codec_stats = None
+    # decode-correctness tripwire: ŷ differs from y by at most quantization
+    # error (~¼ mean abs) + the prior-mean shift; a stream/container
+    # mismatch decodes garbage symbols and blows well past 1.0 (this is the
+    # check that was missing while rounds 2-3 timed a mis-paired
+    # interleaved-container decode)
+    dec_err = float(jnp.mean(jnp.abs(dec["y_hat"] - y_cur)))
+    if dec_err > 1.0:
+        raise RuntimeError(
+            f"wavefront decode insane: mean|ŷ−y| = {dec_err:.3f}"
+        )
     nb = sum(len(s) for g in enc["strings"] for s in g)
     th, tw = tile if tile else (H // 16, W // 16)
     n_rounds = 3 * (th - 1) + tw  # ar_wavefront.wavefront_tables
@@ -423,6 +433,7 @@ def run_wavefront(budget_left, tile=None) -> dict:
         "fps": 1.0 / (enc_t + dec_t),
         "enc_s": round(enc_t, 2),
         "dec_s": round(dec_t, 2),
+        "decode_mean_abs_err": round(dec_err, 4),
         "bpp": round(nb * 8 / (H * W), 4),
         "decode_rounds": n_rounds,
         "per_round_ms": round(per_round_ms, 2),
@@ -573,6 +584,9 @@ def run_charm(groups: int = 4) -> dict:
                            counts=enc.get("counts"))
     jax.block_until_ready(dec["y_hat"])
     dec_t = time.perf_counter() - t0
+    dec_err = float(jnp.mean(jnp.abs(dec["y_hat"] - y_cur)))
+    if dec_err > 1.0:  # same tripwire as run_wavefront
+        raise RuntimeError(f"charm decode insane: mean|ŷ−y| = {dec_err:.3f}")
 
     # host rANS measured directly on the container streams (all G groups)
     from spatiotemporalentropymodel_tpu.entropy import transport as tp
