@@ -726,13 +726,20 @@ def run_trained_weights() -> dict:
     from spatiotemporalentropymodel_tpu.eval.pipeline import StemVideoPipeline
     from spatiotemporalentropymodel_tpu.models import SpatioTemporalPriorModel
 
-    workdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "artifacts", "bakeoff")
+    here = os.path.dirname(os.path.abspath(__file__))
+    workdir = os.path.join(here, "artifacts", "bakeoff")
     cands = sorted(glob.glob(os.path.join(workdir, "ckpt_p_without_spm_*")))
+    if not cands:
+        # fresh container: the live bake-off tree is gitignored, but compact
+        # .pkl.gz copies are committed under artifacts/trained/
+        workdir = os.path.join(here, "artifacts", "trained")
+        cands = sorted(
+            glob.glob(os.path.join(workdir, "ckpt_p_without_spm_*"))
+        )
     if not cands:
         return {}
     lmbdas = sorted(
-        float(os.path.basename(c).split("_")[-1].rsplit(".pkl", 1)[0])
+        float(os.path.basename(c).split("_")[-1].split(".pkl", 1)[0])
         for c in cands
     )
     lmb = lmbdas[0]  # lowest rate point = the published operating range
@@ -979,11 +986,16 @@ def main():
     budget = float(os.environ.get("STEM_BENCH_BUDGET_S", 2700))
     if not _device_reachable():
         # the TPU tunnel is down: emit the last validated self-run, clearly
-        # flagged, instead of hanging past every driver timeout
+        # flagged, instead of hanging past every driver timeout.
+        # BENCH_SELF.json is gitignored (it dies with the container), so a
+        # committed snapshot (artifacts/bench_last_validated.json) backs it.
+        here = os.path.dirname(os.path.abspath(__file__))
         try:
-            with open(os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "BENCH_SELF.json")) as f:
+            path = os.path.join(here, "BENCH_SELF.json")
+            if not os.path.exists(path):
+                path = os.path.join(here, "artifacts",
+                                    "bench_last_validated.json")
+            with open(path) as f:
                 prev = json.load(f)
             prev["detail"]["device_unreachable"] = (
                 "TPU tunnel down at bench time; numbers are the last "
@@ -1009,9 +1021,12 @@ def main():
     results, extras = {}, {}
     if only:
         try:  # keep un-rerun sections from the previous pass
-            with open(os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "BENCH_SELF.json")) as f:
+            here = os.path.dirname(os.path.abspath(__file__))
+            path = os.path.join(here, "BENCH_SELF.json")
+            if not os.path.exists(path):
+                path = os.path.join(here, "artifacts",
+                                    "bench_last_validated.json")
+            with open(path) as f:
                 prev = json.load(f)["detail"]
             extras.update({k: v for k, v in prev.items()
                            if k not in ("pipeline", "bpp", "per_batch_fps",

@@ -11,6 +11,7 @@ path, plus a pickled treedef — no shape surgery ever, atomic rename on save,
 and best/latest bookkeeping like the reference's best-checkpoint copies.
 """
 
+import gzip
 import os
 import pickle
 import tempfile
@@ -39,8 +40,10 @@ def save_checkpoint(state: Dict[str, Any], path: str) -> None:
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    opener = gzip.open if path.endswith(".gz") else open
     try:
-        with os.fdopen(fd, "wb") as f:
+        os.close(fd)
+        with opener(tmp, "wb") as f:
             pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
         os.replace(tmp, path)
     finally:
@@ -49,7 +52,8 @@ def save_checkpoint(state: Dict[str, Any], path: str) -> None:
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
-    with open(path, "rb") as f:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
         payload = pickle.load(f)
     return {k: _unflatten(v) for k, v in payload.items()}
 

@@ -38,6 +38,21 @@ class TestCheckpoints:
                                       state["params"]["w"])
         assert int(restored["counters"]["step"]) == 7
 
+    def test_roundtrip_gzip(self, tmp_path):
+        """.pkl.gz checkpoints (committed trained-weights snapshots,
+        artifacts/trained/) load transparently."""
+        state = {"params": {"w": np.linspace(0, 1, 12, dtype=np.float32)}}
+        path = str(tmp_path / "ckpt.pkl.gz")
+        save_checkpoint(state, path)
+        import gzip
+
+        with open(path, "rb") as f:
+            assert f.read(2) == b"\x1f\x8b"  # actually gzip on disk
+        restored = load_checkpoint(path)
+        np.testing.assert_array_equal(restored["params"]["w"],
+                                      state["params"]["w"])
+        del gzip
+
     def test_manager_best_rotation(self, tmp_path):
         mgr = CheckpointManager(str(tmp_path), "t")
         assert mgr.save({"a": np.zeros(1)}, metric=2.0) is True

@@ -112,12 +112,19 @@ def make_data(root, n_train_seqs=32, n_eval_seqs=2, eval_frames=24):
     return img_root, seq_root, eval_root
 
 
+def _maybe_gz(path):
+    """Training writes plain .pkl; a compact .pkl.gz copy may be committed
+    (artifacts/trained/) so trained-weights evidence survives container
+    resets. Prefer the plain file, fall back to the .gz."""
+    return path if os.path.exists(path) else path + ".gz"
+
+
 def _i_ckpt(workdir, lmbda):
-    return os.path.join(workdir, f"ckpt_i_{lmbda}.pkl")
+    return _maybe_gz(os.path.join(workdir, f"ckpt_i_{lmbda}.pkl"))
 
 
 def _p_ckpt(workdir, name):
-    return os.path.join(workdir, f"ckpt_p_{name}.pkl")
+    return _maybe_gz(os.path.join(workdir, f"ckpt_p_{name}.pkl"))
 
 
 def _train_i(lmbda, data_img, workdir, steps):
