@@ -514,14 +514,16 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
     with zero host syncs, one host rANS call per wavefront on decode.
     ``ar_mode="serial"`` is the reference's per-pixel raster order."""
 
+    # "auto"/"grouped"/"lane" — see models/stem.py for the v2 grouped
+    # wavefront wire format; resolved by ar_wavefront.wire_format. A class
+    # attribute because Cheng2020Anchor/Attention bypass this __init__.
+    wavefront_format = "auto"
+
     def __init__(self, N: int = 192, M: int = 192, ar_mode: str = "wavefront",
                  **kw):
         CompressionModel.__init__(self, JointAutoregressiveModule(N, M), **kw)
         self.N, self.M = N, M
         self.ar_mode = ar_mode
-        # "auto"/"grouped"/"lane" — see models/stem.py for the v2 grouped
-        # wavefront wire format; resolved by ar_wavefront.wire_format
-        self.wavefront_format = "auto"
         self._wavefront_cache: Dict[Any, Any] = {}
 
     # -- wavefront AR codec ---------------------------------------------------
