@@ -1099,7 +1099,7 @@ def main():
         # measures the rate cost of the context resets at <0.3% even at 2×4
         if on("wavefront_deep") and left() > 650:
             for spec in os.environ.get("STEM_BENCH_DEEP_TILE",
-                                       "2,4").split(";"):
+                                       "2,4;1,4").split(";"):
                 th_, tw_ = (int(v) for v in spec.split(","))
                 key = ("res_wavefront_deep_tiled_1080p" if (th_, tw_) == (2, 4)
                        else f"res_wavefront_tile{th_}x{tw_}_1080p")
