@@ -389,9 +389,14 @@ def run_wavefront(budget_left, tile=None) -> dict:
     # lax.scan dispatch (tunnel RPC amortizes over all rounds), replacing
     # the subtract-the-RPC guess for the projection
     dev_round_measured = None
+    enc_scan_measured = None
     if tile is not None:
         try:
             dev_round_measured = measure_wavefront_rounds(stem, tile)
+        except Exception:
+            pass
+        try:
+            enc_scan_measured = measure_wavefront_encode(stem, tile)
         except Exception:
             pass
     # PCIe projection, component-wise from the codec-stats split
@@ -419,16 +424,24 @@ def run_wavefront(budget_left, tile=None) -> dict:
     else:
         dev_round_pcie = max(dev_round_ms - 2 * rpc_ms, 0.4)
     pcie_dec_ms = n_rounds * (dev_round_pcie + 0.6) + host_dec_pcie
-    # encode: one scan dispatch + ~12 MB sym/idx fetch (host-coder order
-    # rebuild) + host rANS; the tunnel fetch (~25 MB/s) becomes ~1 ms on PCIe
+    # encode: one scan dispatch + the sym/idx plane fetch (i16 + u8 since the
+    # narrow-dtype encoder; the model records the actual bytes) + host rANS.
+    # Device cost of the scan is MEASURED when possible (the tunnel-subtract
+    # guess mispriced tiled configs); the fetch is re-priced tunnel → PCIe.
     enc_dev_s = stats.get("enc_device_s", 0.0)
     enc_host_ms = 1e3 * stats.get("enc_host_s", 0.0)
     if enc_host_pcie is None:
         enc_host_pcie = enc_host_ms
-    fetch_bytes = 2 * (H // 16) * (W // 16) * M * 4
-    enc_dev_pcie = max(
-        1e3 * enc_dev_s - fetch_bytes / 25e6 * 1e3 - 2 * rpc_ms, 4.0
-    ) + fetch_bytes / (PCIE_GBPS * 1e9) * 1e3
+    fetch_bytes = stats.get(
+        "enc_fetch_bytes", 3 * (H // 16) * (W // 16) * M
+    )
+    fetch_pcie_ms = fetch_bytes / (PCIE_GBPS * 1e9) * 1e3
+    if enc_scan_measured is not None:
+        enc_dev_pcie = enc_scan_measured + fetch_pcie_ms
+    else:
+        enc_dev_pcie = max(
+            1e3 * enc_dev_s - fetch_bytes / 25e6 * 1e3 - 2 * rpc_ms, 4.0
+        ) + fetch_pcie_ms
     return {
         "fps": 1.0 / (enc_t + dec_t),
         "enc_s": round(enc_t, 2),
@@ -441,6 +454,11 @@ def run_wavefront(budget_left, tile=None) -> dict:
             round(dev_round_measured, 3)
             if dev_round_measured is not None else None
         ),
+        "enc_scan_ms_measured": (
+            round(enc_scan_measured, 2)
+            if enc_scan_measured is not None else None
+        ),
+        "enc_fetch_bytes": int(fetch_bytes),
         "stage_ms": {
             "enc_device_tunnel": round(1e3 * enc_dev_s, 1),
             "enc_host_rans": round(enc_host_ms, 1),
@@ -523,6 +541,34 @@ def measure_wavefront_rounds(stem, tile) -> float:
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     return 1e3 * dt / (reps * (T - 1))
+
+
+def measure_wavefront_encode(stem, tile) -> float:
+    """True device cost of the full wavefront ENCODER scan, one jitted
+    dispatch (mirrors measure_wavefront_rounds for the decode side): the
+    tunnel hides it behind RPC + the sym/idx plane fetch, which a PCIe host
+    pays at 16 GB/s instead."""
+    from spatiotemporalentropymodel_tpu.models import ar_wavefront as wf
+
+    hgt, wid, m = H // 16, W // 16, M
+    th, tw, nt = stem._tile_dims(hgt, wid)
+    zt = stem.tables["entropy_bottleneck"]
+    z_hat = jnp.zeros((1, hgt // 4, wid // 4, zt.rows), jnp.float32)
+    y_cond = jnp.zeros((1, hgt, wid, m), jnp.float32)
+    priors = stem._prior_feats_fn()(z_hat, y_cond)
+    target = jnp.zeros((1, hgt, wid, m), jnp.float32)
+    if nt > 1:
+        priors = wf.tile_plane(priors, th, tw)
+        target = wf.tile_plane(target, th, tw)
+    coords, valid, encoder, *_ = stem._wavefront_setup(th, tw)
+    out = encoder(target, priors, coords, valid)
+    jax.block_until_ready(out)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = encoder(target, priors, coords, valid)
+    jax.block_until_ready(out)
+    return 1e3 * (time.perf_counter() - t0) / reps
 
 
 def run_charm(groups: int = 4) -> dict:

@@ -74,15 +74,25 @@ def make_wavefront_encoder(apply_ar_step, scale_table, in_channels: int):
 
     apply_ar_step: (crops (N,5,5,M), p_vec (N,1,1,P)) -> (scales, means) (N,M)
     Returns fn(target (B,H,W,M), priors (B,H,W,P)) ->
-      (symbols (B,H,W,M) int32, indexes (B,H,W,M) int32) — filled in raster
-      positions; the host flattens them in wavefront order.
+      (symbols (B,H,W,M) int16, indexes (B,H,W,M) uint8) — filled in raster
+      positions; the host flattens them in wavefront order. Narrow dtypes
+      cut the encode-side fetch 2.7x (the planes are the dominant encode
+      transfer at 1080p); symbols saturate at ±32767 — identical to int32
+      for any |round(y−μ)| < 32768, i.e. every non-degenerate latent — and
+      the saturated value feeds the ŷ context, so encoder and decoder stay
+      consistent even when saturation fires.
     """
+    if int(jnp.shape(scale_table)[0]) > 256:
+        raise ValueError(
+            "wavefront encode ships u8 CDF indexes; scale tables are "
+            f"limited to 256 rows (got {int(jnp.shape(scale_table)[0])})"
+        )
 
     def encode(target, priors, coords, valid):
         b, h, w, m = target.shape
         target_pad = jnp.pad(target, ((0, 0), (2, 2), (2, 2), (0, 0)))
-        syms0 = jnp.zeros((b, h, w, m), jnp.int32)
-        idx0 = jnp.zeros((b, h, w, m), jnp.int32)
+        syms0 = jnp.zeros((b, h, w, m), jnp.int16)
+        idx0 = jnp.zeros((b, h, w, m), jnp.uint8)
 
         def step(carry, xs):
             target_pad, syms, idxs = carry
@@ -96,9 +106,10 @@ def make_wavefront_encoder(apply_ar_step, scale_table, in_channels: int):
             scales = scales.reshape(b, l, m)
             means = means.reshape(b, l, m)
             center = crops[:, :, 2, 2, :]  # (B, L, M)
-            sym = jnp.round(center - means).astype(jnp.int32)
+            sym = jnp.clip(jnp.round(center - means),
+                           -32768, 32767).astype(jnp.int16)
             quantized = sym.astype(jnp.float32) + means
-            idx = build_indexes(scales, scale_table).astype(jnp.int32)
+            idx = build_indexes(scales, scale_table).astype(jnp.uint8)
 
             target_pad = _scatter_plane(target_pad, c, v, quantized, (2, 2))
             syms = _scatter_plane(syms, c, v, sym)

@@ -675,6 +675,8 @@ class SpatioTemporalPriorModel(CompressionModel):
         if st is not None:  # flatten fetches → blocks on the encoder scan
             t1 = time.perf_counter()
             st["enc_device_s"] = st.get("enc_device_s", 0.0) + (t1 - t0)
+            st["enc_fetch_bytes"] = (st.get("enc_fetch_bytes", 0)
+                                     + sym_flat.nbytes + idx_flat.nbytes)
         t = self.tables["gaussian_conditional"]
         esym = entropy_base.get_enc_table(t, self.coder)
         if self._wf_format() == "grouped":
