@@ -72,7 +72,7 @@ class Conv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_weights: bool = False):
         k = self.kernel_size
         s = self.stride
         p = k // 2
@@ -80,6 +80,11 @@ class Conv(nn.Module):
         kernel = self.param(
             "kernel", kaiming_normal, (k, k, in_ch, self.features), jnp.float32
         )
+        if return_weights:  # for fused consumers; params identical
+            bias = (self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+                    if self.use_bias else None)
+            return kernel, bias
         if (S2D_CONV and s > 1 and k % 2 == 1
                 and x.shape[1] % s == 0 and x.shape[2] % s == 0):
             sub, pl, ph = _s2d_kernel(kernel.astype(x.dtype), k, s)
@@ -280,6 +285,23 @@ class Sequential(nn.Module):
             nxt = self.layers[i + 1] if i + 1 < n else None
             if (
                 isinstance(layer, GDN)
+                and not layer.inverse
+                and isinstance(nxt, Conv)
+                and hasattr(x, "ndim")
+                and x.ndim == 4
+                and pk.gdn_conv_applicable(
+                    x, x.shape[-1], nxt.kernel_size, nxt.stride)
+            ):
+                # encoder mirror of the IGDN→Deconv peephole below: the GDN
+                # fuses into its consumer k5s2 conv (pallas_kernels.
+                # gdn_conv_fused); params/names/shapes identical
+                beta_v, gamma_v = layer(x, return_weights=True)
+                kernel, bias = nxt(x, return_weights=True)
+                x = pk.gdn_conv_fused(x, gamma_v.T, beta_v, kernel, bias)
+                i += 2
+                continue
+            if (
+                isinstance(layer, GDN)
                 and layer.inverse
                 and isinstance(nxt, Deconv)
                 and nxt.kernel_size % 2 == 1
@@ -292,6 +314,23 @@ class Sequential(nn.Module):
                 kernel, bias = nxt(x, return_weights=True)
                 x = pk.igdn_deconv_fused(
                     x, gamma_v.T, beta_v, kernel, bias, nxt.stride)
+                i += 2
+                continue
+            if (
+                isinstance(layer, GDN)
+                and layer.inverse
+                and isinstance(nxt, Deconv)
+                and hasattr(x, "ndim")
+                and x.ndim == 4
+                and pk.igdn_deconv_wide_applicable(
+                    x, nxt.features, nxt.kernel_size, nxt.stride)
+            ):
+                # the wide interior stages the narrow tail kernel's feature
+                # cap excludes (pallas_kernels.igdn_deconv_wide)
+                beta_v, gamma_v = layer(x, return_weights=True)
+                kernel, bias = nxt(x, return_weights=True)
+                x = pk.igdn_deconv_wide(
+                    x, gamma_v.T, beta_v, kernel, bias)
                 i += 2
                 continue
             x = layer(x)

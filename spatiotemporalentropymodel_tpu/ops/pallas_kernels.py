@@ -442,3 +442,454 @@ def _igdn_deconv_bwd(stride, interpret, res, g):
 
 
 igdn_deconv_fused.defvjp(_igdn_deconv_fwd, _igdn_deconv_bwd)
+
+# ---------------------------------------------------------------------------
+# fused GDN → k5 s2 conv (encoder stages)
+# ---------------------------------------------------------------------------
+#
+# The g_a trunk alternates GDN and k5s2 convs (reference
+# compressai/models/priors.py:330-340 geometry); XLA runs the GDN as an HBM
+# round-trip and lowers the strided conv at ~47 TF/s bf16 — 30% of the
+# measured MXU rate (artifacts/conv_s2d.json: direct/s2d/tap-matmul all
+# plateau there). This kernel fuses each GDN into its *consumer* conv (the
+# decoder mirror, igdn_deconv_fused, fuses IGDN into the deconv the same
+# way) and restructures the stride-2 taps for the MXU:
+#
+#   The free reshape (B,H,W,C) → (B·H·W/2, 2C) pairs adjacent columns
+#   (column tap v = 2m + phase), and the window-fill pass additionally
+#   pairs image ROWS on the lane axis (row pair r₂ at lanes [a·2C, (a+1)·2C)
+#   for row phase a) — a space-to-depth layout built for free while the
+#   pre-GDN streams through VMEM anyway. A stride-2 5×5 tap then becomes a
+#   CONTIGUOUS whole-stripe shift (du, m) ∈ {-1,0,1}²: NINE
+#   (TH·Ws, 4C)×(4C, O) dots per stripe (du=+1 uses only row-phase 0 →
+#   K = 2C), instead of per-output-row dots whose MXU issue overhead
+#   dominates (v1 of this kernel measured 9.0 ms/frame — no better than
+#   XLA). Taps that read across row boundaries in the flat window are
+#   zeroed by masking the dot OUTPUT at j = 0 / j = Ws−1 (the row-wise dot
+#   makes the two equivalent), exactly like the deconv kernel's masks.
+#
+# The GDN of the pre-layer is applied while filling the window scratch
+# (one VMEM pass, f32 math, bf16 storage), with a block-diagonal
+# kron(I₂, γᵀ) so the per-pixel channel matmul works on the paired layout.
+
+FUSE_GDN_CONV = True  # A/B knob (tools/gdn_conv_tune.py)
+_GDN_CONV_TH = 0      # 0 = auto (VMEM model); probes force a stripe height
+# timing-isolation knob for tools/gdn_conv_tune.py --debug: "nofill" skips
+# the window fill, "onedot" runs a single tap block, "nogdn" copies raw
+# rows. Wrong results by construction — never set in production.
+_GDN_CONV_DEBUG = ""
+
+
+def _gdn_conv_ref(x, gamma_t, beta, kernel, bias):
+    """XLA composition: GDN then the direct k5 s2 conv (+ bias)."""
+    c = x.shape[-1]
+    y = _gdn_ref(
+        x.reshape(-1, c).astype(jnp.float32), gamma_t, beta, inverse=False
+    ).reshape(x.shape).astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        y, kernel.astype(y.dtype), (2, 2), ((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+# the nine whole-stripe taps: (row-pair shift du, column shift m, K width
+# factor) — du=+1 only touches row-phase 0 (image row tap u=4), so its K
+# halves to 2C
+_PAIR_BLOCKS = [(-1, -1, 2), (-1, 0, 2), (-1, 1, 2),
+                (0, -1, 2), (0, 0, 2), (0, 1, 2),
+                (1, -1, 1), (1, 0, 1), (1, 1, 1)]
+
+
+def _pair_conv_kernel(x_ref, g2_ref, beta2_ref, w_ref, bias_ref,
+                      out_ref, win_ref, *, th, ws, c2, o, has_gdn,
+                      stripes):
+    """One stripe: window fill (pre-GDN in f32, stored in win dtype, image
+    rows paired on lanes) then NINE whole-stripe masked dots. Window
+    layout: 1 zero row, then TH+2 row-pairs × Ws paired columns × 4C
+    lanes, then 1 zero row. The x block arrives as ONE overlapping
+    Element-indexed window of 2·TH+4 image rows — halos and frame-edge
+    zero rows come from the block's declared padding, so there is no
+    separate halo operand and no gather."""
+
+    debug = _GDN_CONV_DEBUG
+
+    def pre(v):
+        if not has_gdn or debug == "nogdn":
+            return v.astype(win_ref.dtype)
+        vf = v.astype(jnp.float32)
+        n = jnp.dot(vf * vf, g2_ref[:],
+                    preferred_element_type=jnp.float32) + beta2_ref[:]
+        return (vf * jax.lax.rsqrt(n)).astype(win_ref.dtype)
+
+    c4 = 2 * c2
+    zero = jnp.zeros((1, c4), win_ref.dtype)
+    win_ref[0:1] = zero
+    win_ref[1 + (th + 2) * ws:] = zero
+    if debug != "nofill":
+        # x_ref row r·ws.. holds image row 2·(t0−1) + r: window pair
+        # p = r//2 at lane block (r%2)·2C. Element-padding regions hold
+        # UNDEFINED bytes — zero the frame-edge halo rows before the GDN
+        # (where, not multiply: garbage may be NaN/inf)
+        si = pl.program_id(0) % stripes
+        for r in range(2 * th + 4):
+            v = x_ref[r * ws:(r + 1) * ws]
+            if r < 2:
+                v = jnp.where(si == 0, jnp.zeros((), v.dtype), v)
+            elif r >= 2 * th + 2:
+                v = jnp.where(si == stripes - 1, jnp.zeros((), v.dtype), v)
+            win_ref[1 + (r // 2) * ws:1 + (r // 2 + 1) * ws,
+                    (r % 2) * c2:(r % 2 + 1) * c2] = pre(v)
+
+    jc = jax.lax.broadcasted_iota(jnp.int32, (th * ws, 1), 0) % ws
+    m_lo = (jc != 0).astype(jnp.float32)
+    m_hi = (jc != ws - 1).astype(jnp.float32)
+    acc = jnp.zeros((th * ws, o), jnp.float32) + bias_ref[:]
+    koff = 0
+    blocks = _PAIR_BLOCKS[4:5] if debug == "onedot" else _PAIR_BLOCKS
+    for du, m, kf in blocks:
+        kw = kf * c2
+        base = 1 + (du + 1) * ws + m
+        slab = win_ref[base:base + th * ws, 0:kw]
+        d = jnp.dot(slab, w_ref[koff:koff + kw],
+                    preferred_element_type=jnp.float32)
+        koff += kw
+        if m == -1:
+            d = d * m_lo
+        elif m == 1:
+            d = d * m_hi
+        acc = acc + d
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _gdn_conv_th(x):
+    """Largest stripe height whose VMEM working set fits the 16 MB scoped
+    limit (same fitting approach as _igdn_deconv_th)."""
+    b, h, w, c = x.shape
+    hs, ws, c2 = h // 2, w // 2, 2 * c
+    isz = jnp.dtype(x.dtype).itemsize
+    for th in (16, 8, 4, 2, 1):
+        if hs % th:
+            continue
+        vmem = (2 * (2 * th + 4) * ws * c2 * isz  # x windows (pipelined)
+                + ((th + 2) * ws + 2) * 2 * c2 * 2  # s2d window (bf16)
+                + 2 * ws * c2 * 4               # pre-GDN f32 temps
+                + 15 * c2 * 192 * 2             # packed weights (≈, O≈192)
+                + c2 * c2 * 4                   # γ² block (f32)
+                + th * ws * 192 * 4             # f32 accumulator
+                + 2 * th * ws * 192 * 2)        # out blocks (pipelined)
+        # calibrated against Mosaic's scoped accounting: 15.4M modeled at
+        # th=2/ws=480 compiles, th=4 (19.9M modeled) OOMs the 16M limit
+        if vmem <= 15_900_000:
+            return th
+    return None
+
+
+def gdn_conv_applicable(x, in_ch: int, kernel_size: int, stride: int) -> bool:
+    if not (FUSE_GDN_CONV and pallas_enabled()):
+        return False
+    if x.ndim != 4 or stride != 2 or kernel_size != 5:
+        return False
+    if x.dtype != jnp.bfloat16:
+        # serving runs bf16; training (f32) keeps the unfused path — same
+        # gating (and reasoning) as igdn_deconv_applicable
+        return False
+    b, h, w, c = x.shape
+    if c != in_ch or c % 64 or c < 128:
+        return False
+    if h % 2 or w % 2 or (w // 2) % 8:
+        return False
+    return _gdn_conv_th(x) is not None
+
+
+def _pack_pair_kernel(kernel):
+    """(5, 5, C, O) stride-2 kernel → (30C, O): the nine _PAIR_BLOCKS
+    stacked on K. Block (du, m) holds lane (a·2 + b)·C + c ← w[u, v] with
+    u = 2du + a + 2, v = 2m + b + 2 (zero where the 5×5 grid has no tap);
+    du=+1 blocks carry only row-phase a=0 (K = 2C)."""
+    k, _, c, o = kernel.shape
+    parts = []
+    for du, m, kf in _PAIR_BLOCKS:
+        blk = jnp.zeros((kf * 2, c, o), kernel.dtype)
+        for a in range(kf):
+            for b2 in range(2):
+                u, v = 2 * du + a + 2, 2 * m + b2 + 2
+                if 0 <= u < k and 0 <= v < k:
+                    blk = blk.at[a * 2 + b2].set(kernel[u, v])
+        parts.append(blk.reshape(kf * 2 * c, o))
+    return jnp.concatenate(parts, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gdn_conv_fused(x, gamma_t, beta, kernel, bias, interpret: bool = False):
+    """GDN (gamma_t = (in, out) transposed torch γ, beta (C,)) fused with a
+    k5 s2 conv (kernel (5, 5, C, O) HWIO, bias (O,) or None). Returns
+    (B, H/2, W/2, O) in x's dtype. Pass gamma_t=None for conv-only."""
+    b, h, w, c = x.shape
+    o = kernel.shape[-1]
+    has_gdn = gamma_t is not None
+    if not (interpret or gdn_conv_applicable(x, c, kernel.shape[0], 2)):
+        if has_gdn:
+            return _gdn_conv_ref(x, gamma_t, beta, kernel, bias)
+        out = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), (2, 2), ((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return (out + bias.astype(out.dtype)) if bias is not None else out
+
+    hs, ws, c2 = h // 2, w // 2, 2 * c
+    th = _GDN_CONV_TH or _gdn_conv_th(x) or (1 if interpret else None)
+    stripes = hs // th
+    win_dtype = x.dtype if interpret else jnp.bfloat16
+
+    # frame-isolated halo rows: explicit zero-pad of 2 image rows at each
+    # frame edge (Mosaic's element_window rejects low padding, so the pad
+    # is a real XLA op — it fuses with the producer in-chain)
+    x3 = jnp.pad(x.reshape(b, h * ws, c2),
+                 ((0, 0), (2 * ws, 2 * ws), (0, 0)))
+
+    if has_gdn:
+        g2 = jnp.kron(jnp.eye(2, dtype=jnp.float32),
+                      gamma_t.astype(jnp.float32))
+        beta2 = jnp.concatenate([beta, beta]).astype(jnp.float32)[None, :]
+    else:
+        g2 = jnp.zeros((c2, c2), jnp.float32)
+        beta2 = jnp.ones((1, c2), jnp.float32)
+    wp = _pack_pair_kernel(kernel).astype(win_dtype)
+    bias_row = (jnp.zeros((o,), jnp.float32) if bias is None
+                else bias.astype(jnp.float32))[None, :]
+
+    win_rows = (2 * th + 4) * ws
+    out = pl.pallas_call(
+        functools.partial(_pair_conv_kernel, th=th, ws=ws, c2=c2, o=o,
+                          has_gdn=has_gdn, stripes=stripes),
+        out_shape=jax.ShapeDtypeStruct((b * hs * ws, o), x.dtype),
+        grid=(b * stripes,),
+        in_specs=[
+            # one overlapping window of 2·TH+4 image rows per stripe,
+            # element-indexed into the zero-padded row axis
+            pl.BlockSpec(
+                (None, pl.Element(win_rows), pl.Element(c2)),
+                lambda i: (i // stripes, (i % stripes) * 2 * th * ws, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((th * ws, o), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM(((th + 2) * ws + 2, 2 * c2), win_dtype),
+        ],
+        interpret=interpret,
+    )(x3, g2, beta2, wp, bias_row)
+    return out.reshape(b, hs, ws, o)
+
+
+def _gdn_conv_fwd(x, gamma_t, beta, kernel, bias, interpret):
+    out = gdn_conv_fused(x, gamma_t, beta, kernel, bias, interpret)
+    return out, (x, gamma_t, beta, kernel, bias)
+
+
+def _gdn_conv_bwd(interpret, res, g):
+    x, gamma_t, beta, kernel, bias = res
+    has_gdn = gamma_t is not None
+    has_bias = bias is not None
+    c = x.shape[-1]
+
+    def ref(x_, gt_, b_, k_, bs_):
+        if has_gdn:
+            out = _gdn_conv_ref(x_, gt_, b_, k_, bs_ if has_bias else None)
+        else:
+            out = jax.lax.conv_general_dilated(
+                x_, k_.astype(x_.dtype), (2, 2), ((2, 2), (2, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if has_bias:
+                out = out + bs_.astype(out.dtype)
+        return out
+
+    _, vjp = jax.vjp(
+        ref, x,
+        gamma_t if has_gdn else jnp.zeros((c, c), jnp.float32),
+        beta if has_gdn else jnp.zeros((c,), jnp.float32),
+        kernel,
+        bias if has_bias else jnp.zeros((kernel.shape[-1],), jnp.float32))
+    gx, ggt, gb, gk, gbs = vjp(g.astype(x.dtype))
+    return (gx, ggt if has_gdn else None, gb if has_gdn else None, gk,
+            gbs if has_bias else None)
+
+
+gdn_conv_fused.defvjp(_gdn_conv_fwd, _gdn_conv_bwd)
+
+# ---------------------------------------------------------------------------
+# fused IGDN → k5 s2 WIDE deconv (decoder stages)
+# ---------------------------------------------------------------------------
+#
+# The g_s trunk mirror of gdn_conv_fused: IGDN fused into its consumer
+# 192→192 deconv. The deconv runs in its sub-pixel form (one stride-1 3×3
+# conv producing O·s² pre-shuffle channels; layers/conv.py::_subpixel_kernel
+# is the exact weight rearrangement) as NINE whole-stripe (TH·W, C)×(C, 4O)
+# dots over an IGDN'd window — K = C lanes, N = 4O = 768 full lane tiles.
+# The (tiny relative) pixel shuffle runs as an XLA epilogue, exactly like
+# the narrow-tail kernel (Mosaic has no sublane↔lane reshape). The narrow
+# kernel (igdn_deconv_fused) keeps the RGB tail; this one takes the wide
+# interior stages its feature cap excludes.
+
+FUSE_IGDN_DECONV_WIDE = True  # A/B knob (tools/gdn_conv_tune.py --deconv)
+
+_WIDE_BLOCKS = [(-1, -1), (-1, 0), (-1, 1),
+                (0, -1), (0, 0), (0, 1),
+                (1, -1), (1, 0), (1, 1)]
+
+
+def _igdn_deconv_wide_kernel(x_ref, g_ref, beta_ref, w_ref, bias_ref,
+                             out_ref, win_ref, *, th, w, c, o4, stripes):
+    """One stripe: IGDN window fill (TH+2 input rows, 1 zero row each end)
+    then nine whole-stripe masked dots into the (TH·W, O·s²) pre-shuffle
+    accumulator."""
+
+    def igdn(v):
+        vf = v.astype(jnp.float32)
+        n = jnp.dot(vf * vf, g_ref[:],
+                    preferred_element_type=jnp.float32) + beta_ref[:]
+        return (vf * jnp.sqrt(n)).astype(win_ref.dtype)
+
+    zero = jnp.zeros((1, c), win_ref.dtype)
+    win_ref[0:1] = zero
+    win_ref[1 + (th + 2) * w:] = zero
+    si = pl.program_id(0) % stripes
+    for r in range(th + 2):
+        v = x_ref[r * w:(r + 1) * w]
+        if r == 0:
+            v = jnp.where(si == 0, jnp.zeros((), v.dtype), v)
+        elif r == th + 1:
+            v = jnp.where(si == stripes - 1, jnp.zeros((), v.dtype), v)
+        win_ref[1 + r * w:1 + (r + 1) * w] = igdn(v)
+
+    jc = jax.lax.broadcasted_iota(jnp.int32, (th * w, 1), 0) % w
+    m_lo = (jc != 0).astype(jnp.float32)
+    m_hi = (jc != w - 1).astype(jnp.float32)
+    acc = jnp.zeros((th * w, o4), jnp.float32) + bias_ref[:]
+    for bi, (dm, dn) in enumerate(_WIDE_BLOCKS):
+        slab = win_ref[1 + (dm + 1) * w + dn:1 + (dm + 1) * w + dn + th * w]
+        d = jnp.dot(slab, w_ref[bi * c:(bi + 1) * c],
+                    preferred_element_type=jnp.float32)
+        if dn == -1:
+            d = d * m_lo
+        elif dn == 1:
+            d = d * m_hi
+        acc = acc + d
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _wide_th(x, o4):
+    b, h, w, c = x.shape
+    isz = jnp.dtype(x.dtype).itemsize
+    for th in (8, 4, 2, 1):
+        if h % th:
+            continue
+        vmem = (2 * (th + 2) * w * c * isz      # x windows (pipelined)
+                + ((th + 2) * w + 2) * c * 2    # IGDN'd window (bf16)
+                + 2 * w * c * 4                 # igdn f32 temps
+                + 9 * c * o4 * 2                # packed sub-pixel weights
+                + c * c * 4                     # γ (f32)
+                + th * w * o4 * 4               # f32 accumulator
+                + 2 * th * w * o4 * 2)          # out blocks (pipelined)
+        if vmem <= 15_900_000:
+            return th
+    return None
+
+
+def igdn_deconv_wide_applicable(x, features: int, kernel_size: int,
+                                stride: int) -> bool:
+    if not (FUSE_IGDN_DECONV_WIDE and pallas_enabled()):
+        return False
+    if x.ndim != 4 or stride != 2 or kernel_size != 5:
+        return False
+    if x.dtype != jnp.bfloat16:
+        return False
+    b, h, w, c = x.shape
+    if c % 64 or c < 128 or features % 64 or features < 128:
+        return False
+    if w % 8:
+        return False
+    return _wide_th(x, features * stride * stride) is not None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def igdn_deconv_wide(x, gamma_t, beta, kernel, bias, interpret: bool = False):
+    """IGDN (gamma_t (in, out) transposed torch γ, beta (C,)) fused with a
+    WIDE k5 s2 deconv (kernel (5, 5, C, O) = flipped torch ConvTranspose2d
+    weight, bias (O,) or None). Returns (B, 2H, 2W, O) in x's dtype."""
+    b, h, w, c = x.shape
+    o = kernel.shape[-1]
+    s = 2
+    if not (interpret or igdn_deconv_wide_applicable(
+            x, o, kernel.shape[0], s)):
+        return _igdn_deconv_ref(x, gamma_t, beta, kernel, bias, s)
+
+    from ..layers.conv import _subpixel_kernel, pixel_shuffle
+
+    sub, rk, pl_, ph = _subpixel_kernel(kernel, kernel.shape[0], s)
+    assert (rk, pl_, ph) == (3, 1, 1), (rk, pl_, ph)
+    o4 = o * s * s
+    th = _wide_th(x, o4) or (1 if interpret else None)
+    stripes = h // th
+    win_dtype = x.dtype if interpret else jnp.bfloat16
+
+    x3 = jnp.pad(x.reshape(b, h * w, c), ((0, 0), (w, w), (0, 0)))
+    wp = sub.reshape(9 * c, o4).astype(win_dtype)
+    bias4 = jnp.repeat(
+        jnp.zeros((o,), jnp.float32) if bias is None
+        else bias.astype(jnp.float32), s * s)[None, :]
+    win_rows = (th + 2) * w
+
+    out = pl.pallas_call(
+        functools.partial(_igdn_deconv_wide_kernel, th=th, w=w, c=c, o4=o4,
+                          stripes=stripes),
+        out_shape=jax.ShapeDtypeStruct((b * h * w, o4), x.dtype),
+        grid=(b * stripes,),
+        in_specs=[
+            pl.BlockSpec(
+                (None, pl.Element(win_rows), pl.Element(c)),
+                lambda i: (i // stripes, (i % stripes) * th * w, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((th * w, o4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows + 2, c), win_dtype),
+        ],
+        interpret=interpret,
+    )(x3, gamma_t.astype(jnp.float32),
+      beta[None, :].astype(jnp.float32), wp, bias4)
+    return pixel_shuffle(out.reshape(b, h, w, o4), s)
+
+
+def _igdn_deconv_wide_fwd(x, gamma_t, beta, kernel, bias, interpret):
+    out = igdn_deconv_wide(x, gamma_t, beta, kernel, bias, interpret)
+    return out, (x, gamma_t, beta, kernel, bias)
+
+
+def _igdn_deconv_wide_bwd(interpret, res, g):
+    x, gamma_t, beta, kernel, bias = res
+    has_bias = bias is not None
+
+    def ref(x_, gt_, b_, k_, bs_):
+        return _igdn_deconv_ref(x_, gt_, b_, k_,
+                                bs_ if has_bias else None, 2)
+
+    _, vjp = jax.vjp(ref, x, gamma_t, beta, kernel,
+                     bias if has_bias else jnp.zeros((kernel.shape[-1],),
+                                                     jnp.float32))
+    gx, ggt, gb, gk, gbs = vjp(g.astype(x.dtype))
+    return gx, ggt, gb, gk, (gbs if has_bias else None)
+
+
+igdn_deconv_wide.defvjp(_igdn_deconv_wide_fwd, _igdn_deconv_wide_bwd)

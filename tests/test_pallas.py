@@ -206,3 +206,133 @@ class TestFusedIGDNDeconv:
                                   kernel, bias, 2)
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(ref), atol=6e-2, rtol=3e-2)
+
+
+class TestFusedGDNConv:
+    """gdn_conv_fused — the g_a-trunk fusion (GDN → k5 s2 conv)."""
+
+    def _weights(self, c, o, k=5, seed=0):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+        gamma_t = jnp.abs(jax.random.normal(ks[0], (c, c))) * 0.01
+        beta = jnp.ones(c)
+        kernel = jax.random.normal(ks[1], (k, k, c, o)) * 0.05
+        bias = jax.random.normal(ks[2], (o,)) * 0.1
+        return gamma_t, beta, kernel, bias
+
+    @pytest.mark.parametrize("shape,o", [((1, 8, 16, 64), 48),
+                                         ((2, 12, 20, 32), 40),
+                                         ((1, 6, 10, 16), 16)])
+    def test_matches_composition(self, shape, o):
+        c = shape[-1]
+        x = jax.random.normal(jax.random.PRNGKey(1), shape) * 0.5
+        gamma_t, beta, kernel, bias = self._weights(c, o)
+        ref = pk._gdn_conv_ref(x, gamma_t, beta, kernel, bias)
+        got = pk.gdn_conv_fused(x, gamma_t, beta, kernel, bias, True)
+        assert got.shape == (shape[0], shape[1] // 2, shape[2] // 2, o)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_conv_only_mode(self):
+        c, o = 32, 24
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 12, c)) * 0.5
+        _, _, kernel, bias = self._weights(c, o)
+        ref = jax.lax.conv_general_dilated(
+            x, kernel, (2, 2), ((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        got = pk.gdn_conv_fused(x, None, None, kernel, bias, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_gradients_match_composition(self):
+        c, o = 32, 24
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 12, c)) * 0.5
+        gamma_t, beta, kernel, bias = self._weights(c, o)
+
+        gf = jax.grad(
+            lambda *a: pk.gdn_conv_fused(*a, True).sum(),
+            argnums=(0, 1, 2, 3, 4))(x, gamma_t, beta, kernel, bias)
+        gr = jax.grad(
+            lambda *a: pk._gdn_conv_ref(*a).sum(),
+            argnums=(0, 1, 2, 3, 4))(x, gamma_t, beta, kernel, bias)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+    def test_bf16_io(self):
+        c, o = 64, 64
+        x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 16, c),
+                              jnp.bfloat16)
+        gamma_t, beta, kernel, bias = self._weights(c, o)
+        got = pk.gdn_conv_fused(x, gamma_t, beta, kernel, bias, True)
+        assert got.dtype == jnp.bfloat16
+        ref = pk._gdn_conv_ref(x.astype(jnp.float32), gamma_t, beta,
+                               kernel, bias)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref), atol=6e-2, rtol=3e-2)
+
+    def test_sequential_peephole_params_identical(self):
+        """The GDN→Conv peephole must not change param trees or outputs
+        (it only fires on TPU; on CPU this pins the non-fused equality and
+        the return_weights plumbing)."""
+        from spatiotemporalentropymodel_tpu.layers.conv import (
+            Conv,
+            Sequential,
+        )
+        from spatiotemporalentropymodel_tpu.layers.gdn import GDN
+
+        seq = Sequential([Conv(32, 5, 2), GDN(32), Conv(32, 5, 2)],
+                         name="seq")
+        x = jax.random.normal(jax.random.PRNGKey(7), (1, 16, 16, 3)) * 0.5
+        params = seq.init(jax.random.PRNGKey(0), x)
+        y = seq.apply(params, x)
+        assert y.shape == (1, 4, 4, 32)
+
+
+class TestFusedIGDNDeconvWide:
+    """igdn_deconv_wide — the g_s interior fusion (IGDN → wide deconv)."""
+
+    def _weights(self, c, o, k=5, seed=0):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+        gamma_t = jnp.abs(jax.random.normal(ks[0], (c, c))) * 0.01
+        beta = jnp.ones(c)
+        kernel = jax.random.normal(ks[1], (k, k, c, o)) * 0.05
+        bias = jax.random.normal(ks[2], (o,)) * 0.1
+        return gamma_t, beta, kernel, bias
+
+    @pytest.mark.parametrize("shape,o", [((1, 4, 8, 64), 48),
+                                         ((2, 6, 10, 32), 40)])
+    def test_matches_composition(self, shape, o):
+        c = shape[-1]
+        x = jax.random.normal(jax.random.PRNGKey(1), shape) * 0.5
+        gamma_t, beta, kernel, bias = self._weights(c, o)
+        ref = pk._igdn_deconv_ref(x, gamma_t, beta, kernel, bias, 2)
+        got = pk.igdn_deconv_wide(x, gamma_t, beta, kernel, bias, True)
+        assert got.shape == (shape[0], 2 * shape[1], 2 * shape[2], o)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_gradients_match_composition(self):
+        c, o = 32, 24
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 6, c)) * 0.5
+        gamma_t, beta, kernel, bias = self._weights(c, o)
+        gf = jax.grad(
+            lambda *a: pk.igdn_deconv_wide(*a, True).sum(),
+            argnums=(0, 1, 2, 3, 4))(x, gamma_t, beta, kernel, bias)
+        gr = jax.grad(
+            lambda *a: pk._igdn_deconv_ref(*a, 2).sum(),
+            argnums=(0, 1, 2, 3, 4))(x, gamma_t, beta, kernel, bias)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+    def test_bf16_io(self):
+        c, o = 64, 64
+        x = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 8, c),
+                              jnp.bfloat16)
+        gamma_t, beta, kernel, bias = self._weights(c, o)
+        got = pk.igdn_deconv_wide(x, gamma_t, beta, kernel, bias, True)
+        assert got.dtype == jnp.bfloat16
+        ref = pk._igdn_deconv_ref(x.astype(jnp.float32), gamma_t, beta,
+                                  kernel, bias, 2)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref), atol=6e-2, rtol=3e-2)
