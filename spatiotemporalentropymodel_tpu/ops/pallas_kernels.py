@@ -737,7 +737,12 @@ gdn_conv_fused.defvjp(_gdn_conv_fwd, _gdn_conv_bwd)
 # kernel (igdn_deconv_fused) keeps the RGB tail; this one takes the wide
 # interior stages its feature cap excludes.
 
-FUSE_IGDN_DECONV_WIDE = True  # A/B knob (tools/gdn_conv_tune.py --deconv)
+# Default OFF: standalone the wide fusion wins (3.55 vs 5.15 ms/frame at
+# the 272x480 stage) but IN-CHAIN the pixel-shuffle epilogue + input pad
+# materialize relayouts XLA otherwise avoids — chain A/B measured 29.2 vs
+# 23.0 ms/frame device-only (/tmp lost; re-run: tools/gdn_conv_tune.py).
+# The encoder-side gdn_conv_fused peephole has no epilogue and stays on.
+FUSE_IGDN_DECONV_WIDE = False  # A/B knob
 
 _WIDE_BLOCKS = [(-1, -1), (-1, 0), (-1, 1),
                 (0, -1), (0, 0), (0, 1),
