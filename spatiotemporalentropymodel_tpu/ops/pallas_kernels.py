@@ -739,9 +739,13 @@ gdn_conv_fused.defvjp(_gdn_conv_fwd, _gdn_conv_bwd)
 
 # Default OFF: standalone the wide fusion wins (3.55 vs 5.15 ms/frame at
 # the 272x480 stage) but IN-CHAIN the pixel-shuffle epilogue + input pad
-# materialize relayouts XLA otherwise avoids — chain A/B measured 29.2 vs
-# 23.0 ms/frame device-only (/tmp lost; re-run: tools/gdn_conv_tune.py).
-# The encoder-side gdn_conv_fused peephole has no epilogue and stays on.
+# materialize relayouts XLA otherwise avoids — device-only chain A/B at
+# 1080p b4 bf16: 23.03 ms/frame baseline, 22.59 encoder fusion only (ON),
+# 29.19 with this knob. The identified fix is carrying a column-paired
+# ("CP") layout through g_s — rows full-res, columns paired on lanes —
+# so each deconv resolves its row phases with sublane-only interleaves
+# (Mosaic allows those; it is the sublane↔lane shuffle that is banned) and
+# no stage ever materializes the shuffled tensor. Not yet implemented.
 FUSE_IGDN_DECONV_WIDE = False  # A/B knob
 
 _WIDE_BLOCKS = [(-1, -1), (-1, 0), (-1, 1),
