@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--th", type=int, default=0)
+    ap.add_argument("--deconv", action="store_true",
+                    help="bench igdn_deconv_wide (g_s stages) instead")
     ap.add_argument("--out", default="artifacts/gdn_conv_tune.json")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -43,11 +45,15 @@ def main():
     C = 192
     rng = np.random.default_rng(0)
     rows = []
-    for name, (H, W) in [
+    shapes = [
         ("stage1 @544x960", (544, 960)),
         ("stage2 @272x480", (272, 480)),
         ("stage3 @136x240", (136, 240)),
-    ]:
+    ]
+    if args.deconv:
+        shapes = [("dstage2 in272x480", (272, 480)),
+                  ("dstage1 in136x240", (136, 240))]
+    for name, (H, W) in shapes:
         x = jnp.asarray(rng.normal(0, 0.5, (b, H, W, C)), jnp.bfloat16)
         gt = jnp.asarray(rng.uniform(0.01, 0.1, (C, C)), jnp.float32)
         beta = jnp.asarray(rng.uniform(0.5, 1.5, (C,)), jnp.float32)
@@ -56,15 +62,22 @@ def main():
         # conv flops only (the GDN matmul adds ~16% at 2C block-diag)
         fl = _conv_flops(H // 2, W // 2, C, C, 5) * b
 
-        def fused(v):
-            return pk.gdn_conv_fused(v, gt, beta, k, bias)
+        if args.deconv:
+            def fused(v):
+                return pk.igdn_deconv_wide(v, gt, beta, k, bias)
 
-        def unfused(v):
-            y = pk.gdn_fused(v, gt, beta, False)
-            out = jax.lax.conv_general_dilated(
-                y, k.astype(y.dtype), (2, 2), ((2, 2), (2, 2)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            return out + bias.astype(out.dtype)
+            def unfused(v):
+                return pk._igdn_deconv_ref(v, gt, beta, k, bias, 2)
+        else:
+            def fused(v):
+                return pk.gdn_conv_fused(v, gt, beta, k, bias)
+
+            def unfused(v):
+                y = pk.gdn_fused(v, gt, beta, False)
+                out = jax.lax.conv_general_dilated(
+                    y, k.astype(y.dtype), (2, 2), ((2, 2), (2, 2)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return out + bias.astype(out.dtype)
 
         ya = np.asarray(fused(x), np.float32)
         yb = np.asarray(unfused(x), np.float32)
@@ -73,8 +86,12 @@ def main():
         print(f"{name} rel err {err:.4f} (bf16 window rounding)", flush=True)
         assert err < 0.15, err
 
-        applicable = pk.gdn_conv_applicable(x, C, 5, 2)
-        th = pk._GDN_CONV_TH or pk._gdn_conv_th(x)
+        if args.deconv:
+            applicable = pk.igdn_deconv_wide_applicable(x, C, 5, 2)
+            th = pk._wide_th(x, 4 * C)
+        else:
+            applicable = pk.gdn_conv_applicable(x, C, 5, 2)
+            th = pk._GDN_CONV_TH or pk._gdn_conv_th(x)
         for vname, vfn in (("fused", fused), ("unfused", unfused)):
             r = measure(f"{name} {vname}", vfn, x, args.iters)
             r["achieved_tflops_analytic"] = round(
