@@ -1197,16 +1197,17 @@ def _emit(results, extras, to_stdout: bool):
             "(tools/profile_pipeline.py)"
         ),
     }
-    if "device_only_b4" in extras:
-        detail["device_only"] = extras["device_only_b4"]
+    # project with the faster serving dtype (bf16 since the fused
+    # bf16-preserving GDN + set_compute_dtype landed; the f32 entropy
+    # islands keep the codec bit-consistent either way). Either dtype's
+    # measurement alone is enough — a transient tunnel error in one
+    # section must not drop the headline projection.
+    cands = [(n, extras[k]) for n, k in
+             (("f32", "device_only_b4"), ("bf16", "device_only_b4_bf16"))
+             if k in extras and "ms_per_frame" in extras.get(k, {})]
+    if cands:
+        detail["device_only"] = extras.get("device_only_b4", cands[0][1])
         if "host_coder_standalone" in extras:
-            # project with the faster serving dtype (bf16 since the fused
-            # bf16-preserving GDN + set_compute_dtype landed; the f32
-            # entropy islands keep the codec bit-consistent either way)
-            cands = [("f32", extras["device_only_b4"])]
-            if "device_only_b4_bf16" in extras and "ms_per_frame" in extras[
-                    "device_only_b4_bf16"]:
-                cands.append(("bf16", extras["device_only_b4_bf16"]))
             dname, dev = min(cands, key=lambda c: c[1]["ms_per_frame"])
             proj = pcie_projection(
                 best, dev, extras["host_coder_standalone"],
