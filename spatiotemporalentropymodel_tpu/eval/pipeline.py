@@ -42,7 +42,8 @@ class StemVideoPipeline:
     dense format whose y/z streams are byte-identical to the model APIs'.
     """
 
-    def __init__(self, i_model, stem, transport_mode: str = "sparse"):
+    def __init__(self, i_model, stem, transport_mode: str = "sparse",
+                 spatial_mesh=None, spatial_axis: str = "sp"):
         if stem.use_spm:
             raise ValueError(
                 "StemVideoPipeline drives the parallel (non-SPM) codec path; "
@@ -53,6 +54,14 @@ class StemVideoPipeline:
         self.i_model = i_model
         self.stem = stem
         self.transport_mode = transport_mode
+        # spatial model-parallelism (SURVEY §2.7): with a mesh, every frame
+        # and the ŷ carry are W-sharded across it — GSPMD inserts the conv
+        # halo exchanges in g_a/g_s/hyper nets — and the ONLY gather is the
+        # packed byte buffer at the host-coder boundary (the rANS coder is a
+        # host loop either way). Frame W must divide mesh_size*16 (the g_a
+        # stride) so every stage keeps an integral shard.
+        self._sp_mesh = spatial_mesh
+        self._sp_axis = spatial_axis
         stem._require_tables()
 
         def encode_fn(x, y_cond):
@@ -62,7 +71,7 @@ class StemVideoPipeline:
         def encode_sparse_fn(x, y_cond):
             y_cur = i_model._apply(x, method="analysis")[0]
             packed, y_hat = stem.fused_encode_sparse_carry_expr(y_cur, y_cond)
-            return y_cur, y_hat, packed
+            return y_cur, self._sp_pin(y_hat), packed
 
         def analysis_fn(x):
             return i_model._apply(x, method="analysis")[0]
@@ -92,6 +101,41 @@ class StemVideoPipeline:
         self._finish_sparse = jax.jit(finish_sparse_fn)
         self._decode_full_cache = {}
         self._gop_forward = None
+
+    # -- spatial model-parallelism helpers -------------------------------------
+
+    def _sp_sharding(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(
+            self._sp_mesh, P(None, None, self._sp_axis, None)
+        )
+
+    def _sp_place(self, arr):
+        """Commit an NHWC array W-sharded over the spatial mesh (no-op
+        without one). jit follows committed input shardings, so placing the
+        frame and the carry is all it takes for GSPMD to partition the
+        transform stacks with halo exchanges."""
+        if self._sp_mesh is None or arr is None:
+            return arr
+        n = self._sp_mesh.devices.size
+        if getattr(arr, "ndim", 0) != 4 or arr.shape[2] % n:
+            raise ValueError(
+                f"spatial serving needs NHWC with W divisible by the mesh "
+                f"size {n}; got shape {getattr(arr, 'shape', None)}"
+            )
+        return jax.device_put(arr, self._sp_sharding())
+
+    def _sp_pin(self, arr):
+        """Inside-trace constraint keeping the ŷ carry (and x̂) W-sharded —
+        XLA's own propagation may otherwise replicate outputs whose producer
+        chain ends in a gather (the sparse unpack)."""
+        if self._sp_mesh is None:
+            return arr
+        n = self._sp_mesh.devices.size
+        if getattr(arr, "ndim", 0) != 4 or arr.shape[2] % n:
+            return arr
+        return jax.lax.with_sharding_constraint(arr, self._sp_sharding())
 
     # -- encoder side ---------------------------------------------------------
 
@@ -172,6 +216,8 @@ class StemVideoPipeline:
         contract, used by byte-equality tests). One device dispatch + one
         packed download + host rANS.
         """
+        if self._sp_mesh is not None:
+            x, y_cond = self._sp_place(x), self._sp_place(y_cond)
         if self.transport_mode == "sparse":
             y_cur, y_hat, packed = self._encode_sparse(x, y_cond)
             enc = self.code_sparse_buffer(np.asarray(packed), y_cur.shape)
@@ -197,7 +243,11 @@ class StemVideoPipeline:
 
         with ThreadPoolExecutor(1) as fetcher:
             pending = None  # (future_buf, y_cur, x, y_cond_before)
+            y_cond = self._sp_place(y_cond) if self._sp_mesh is not None \
+                else y_cond
             for x in frames:
+                if self._sp_mesh is not None:
+                    x = self._sp_place(x)
                 y_cond_before = y_cond
                 y_cur, y_hat, packed = self._encode_sparse(x, y_cond)
                 y_cond = y_hat  # device-resident carry
@@ -257,10 +307,11 @@ class StemVideoPipeline:
                 payload[nbm + nval:nbm + nval + nz], jnp.int8
             ).reshape(b, zh, zw, zc)
             _, order, means = stem.fused_params_sparse_expr(z_sym, y_cond)
-            y_hat = stem.fused_reconstruct_sparse_expr(
+            y_hat = self._sp_pin(stem.fused_reconstruct_sparse_expr(
                 maskbits, values, order, means, y_cond
-            )
-            return i_model._apply(y_hat, method="get_x"), y_hat
+            ))
+            return (self._sp_pin(i_model._apply(y_hat, method="get_x")),
+                    y_hat)
 
         entry = (jax.jit(fn), layout)
         self._decode_full_cache[key] = entry
@@ -307,6 +358,8 @@ class StemVideoPipeline:
         dispatch and zero fetches; legacy sparse containers fetch the
         256-byte counts vector from device; dense uses two dispatches.
         """
+        if self._sp_mesh is not None and y_cond is not None:
+            y_cond = self._sp_place(y_cond)
         if isinstance(enc_or_strings, dict):
             strings = enc_or_strings["strings"]
             shape = enc_or_strings["shape"]
@@ -351,6 +404,8 @@ class StemVideoPipeline:
 
     def analysis(self, x):
         """g_a only (I-frame conditioning bootstrap)."""
+        if self._sp_mesh is not None:
+            x = self._sp_place(x)
         return self._analysis(x)
 
     # -- device-only GOP evaluation -------------------------------------------
