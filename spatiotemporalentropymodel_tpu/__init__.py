@@ -23,6 +23,35 @@ independent TPU-first design (NHWC layouts, pure functions, static shapes).
 
 __version__ = "0.1.0"
 
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (repo-local by default).
+
+    Remote-tunnel jit compiles cost minutes each; the cache makes every
+    repeat compile ~0.1 s across processes (measured 3.0 s → 0.1 s on the
+    v5e tunnel), so bench/tool budgets go to measurement instead of
+    recompilation. Opt out with STEM_JAX_CACHE=0; point elsewhere with
+    STEM_JAX_CACHE=/path."""
+    import os
+
+    cfg = os.environ.get("STEM_JAX_CACHE", "")
+    if cfg == "0":
+        return
+    path = cfg or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+
+
+_enable_compilation_cache()
+
 _entropy_coder = "rans"
 _available_coders = ["rans", "rans_interleaved", "numpy"]
 
