@@ -285,6 +285,47 @@ class Sequential(nn.Module):
             nxt = self.layers[i + 1] if i + 1 < n else None
             if (
                 isinstance(layer, GDN)
+                and layer.inverse
+                and isinstance(nxt, Deconv)
+                and i + 3 < n
+                and isinstance(self.layers[i + 2], GDN)
+                and self.layers[i + 2].inverse
+                and isinstance(self.layers[i + 3], Deconv)
+                and hasattr(x, "ndim")
+                and x.ndim == 4
+                and pk.igdn_deconv_wide_packed_applicable(
+                    x, nxt.features, nxt.kernel_size, nxt.stride)
+                and pk.igdn_deconv_tail_packed_applicable(
+                    jax.ShapeDtypeStruct(
+                        (*x.shape[:3], 4 * nxt.features), x.dtype),
+                    self.layers[i + 3].features,
+                    self.layers[i + 3].kernel_size,
+                    self.layers[i + 3].stride)
+            ):
+                # packed g_s chain (pallas_kernels.FUSE_GS_PACKED): the wide
+                # IGDN→deconv emits its pre-shuffle tensor phase-major and
+                # the narrow tail consumes it — the shuffled intermediate
+                # (~200 MB/frame at 1080p) never materializes. Params,
+                # names and shapes identical to the unfused layers.
+                g2, d_wide = layer, nxt
+                g3, d_tail = self.layers[i + 2], self.layers[i + 3]
+                beta2, gamma2 = g2(x, return_weights=True)
+                kw, bw = d_wide(x, return_weights=True)
+                # the return_weights paths only read x.shape[-1] (Deconv's
+                # in_ch); the tail layers' logical input has d_wide.features
+                # channels, so hand them a shape stand-in
+                mid = jax.ShapeDtypeStruct(
+                    (*x.shape[:3], d_wide.features), x.dtype)
+                beta3, gamma3 = g3(mid, return_weights=True)
+                kt, bt = d_tail(mid, return_weights=True)
+                packed = pk.igdn_deconv_wide_packed(
+                    x, gamma2.T, beta2, kw, bw)
+                x = pk.igdn_deconv_tail_packed(
+                    packed, gamma3.T, beta3, kt, bt)
+                i += 4
+                continue
+            if (
+                isinstance(layer, GDN)
                 and not layer.inverse
                 and isinstance(nxt, Conv)
                 and hasattr(x, "ndim")

@@ -827,35 +827,17 @@ def igdn_deconv_wide_applicable(x, features: int, kernel_size: int,
     return _wide_th(x, features * stride * stride) is not None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def igdn_deconv_wide(x, gamma_t, beta, kernel, bias, interpret: bool = False):
-    """IGDN (gamma_t (in, out) transposed torch γ, beta (C,)) fused with a
-    WIDE k5 s2 deconv (kernel (5, 5, C, O) = flipped torch ConvTranspose2d
-    weight, bias (O,) or None). Returns (B, 2H, 2W, O) in x's dtype."""
+def _igdn_deconv_wide_call(x, gamma_t, beta, wp, bias4, o4, interpret):
+    """Shared pallas_call of the wide IGDN→deconv kernel: returns the
+    pre-shuffle (b·h·w, o4) tensor in whatever column order ``wp``/``bias4``
+    encode (the shuffled and the packed variants differ only there)."""
     b, h, w, c = x.shape
-    o = kernel.shape[-1]
-    s = 2
-    if not (interpret or igdn_deconv_wide_applicable(
-            x, o, kernel.shape[0], s)):
-        return _igdn_deconv_ref(x, gamma_t, beta, kernel, bias, s)
-
-    from ..layers.conv import _subpixel_kernel, pixel_shuffle
-
-    sub, rk, pl_, ph = _subpixel_kernel(kernel, kernel.shape[0], s)
-    assert (rk, pl_, ph) == (3, 1, 1), (rk, pl_, ph)
-    o4 = o * s * s
     th = _wide_th(x, o4) or (1 if interpret else None)
     stripes = h // th
     win_dtype = x.dtype if interpret else jnp.bfloat16
-
     x3 = jnp.pad(x.reshape(b, h * w, c), ((0, 0), (w, w), (0, 0)))
-    wp = sub.reshape(9 * c, o4).astype(win_dtype)
-    bias4 = jnp.repeat(
-        jnp.zeros((o,), jnp.float32) if bias is None
-        else bias.astype(jnp.float32), s * s)[None, :]
     win_rows = (th + 2) * w
-
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_igdn_deconv_wide_kernel, th=th, w=w, c=c, o4=o4,
                           stripes=stripes),
         out_shape=jax.ShapeDtypeStruct((b * h * w, o4), x.dtype),
@@ -877,7 +859,32 @@ def igdn_deconv_wide(x, gamma_t, beta, kernel, bias, interpret: bool = False):
         ],
         interpret=interpret,
     )(x3, gamma_t.astype(jnp.float32),
-      beta[None, :].astype(jnp.float32), wp, bias4)
+      beta[None, :].astype(jnp.float32),
+      wp.astype(win_dtype), bias4)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def igdn_deconv_wide(x, gamma_t, beta, kernel, bias, interpret: bool = False):
+    """IGDN (gamma_t (in, out) transposed torch γ, beta (C,)) fused with a
+    WIDE k5 s2 deconv (kernel (5, 5, C, O) = flipped torch ConvTranspose2d
+    weight, bias (O,) or None). Returns (B, 2H, 2W, O) in x's dtype."""
+    b, h, w, c = x.shape
+    o = kernel.shape[-1]
+    s = 2
+    if not (interpret or igdn_deconv_wide_applicable(
+            x, o, kernel.shape[0], s)):
+        return _igdn_deconv_ref(x, gamma_t, beta, kernel, bias, s)
+
+    from ..layers.conv import _subpixel_kernel, pixel_shuffle
+
+    sub, rk, pl_, ph = _subpixel_kernel(kernel, kernel.shape[0], s)
+    assert (rk, pl_, ph) == (3, 1, 1), (rk, pl_, ph)
+    o4 = o * s * s
+    wp = sub.reshape(9 * c, o4)
+    bias4 = jnp.repeat(
+        jnp.zeros((o,), jnp.float32) if bias is None
+        else bias.astype(jnp.float32), s * s)[None, :]
+    out = _igdn_deconv_wide_call(x, gamma_t, beta, wp, bias4, o4, interpret)
     return pixel_shuffle(out.reshape(b, h, w, o4), s)
 
 
@@ -902,3 +909,333 @@ def _igdn_deconv_wide_bwd(interpret, res, g):
 
 
 igdn_deconv_wide.defvjp(_igdn_deconv_wide_fwd, _igdn_deconv_wide_bwd)
+
+# ---------------------------------------------------------------------------
+# packed g_s chain: IGDN→wide-deconv → IGDN→narrow-deconv with NO pixel
+# shuffle between them
+# ---------------------------------------------------------------------------
+#
+# Round-3 finding (knob comment above): the wide fusion wins standalone but
+# regresses in-chain because its pixel-shuffle epilogue materializes the
+# shuffled (B, 2H, 2W, O) tensor (a lane↔sublane relayout of ~200 MB/frame)
+# which the next stage immediately re-pads. This section removes the shuffle
+# from the chain entirely:
+#
+#   igdn_deconv_wide_packed : same wide kernel, but the pre-shuffle output
+#     columns are reordered PHASE-MAJOR — lane index a·2O + b·O + o for
+#     output pixel (2r+a, 2c+b) — and returned as (B, H, W, 4O) with no
+#     epilogue. Phase slices land on 128-aligned lane boundaries (2O = 384
+#     for O = 192), which is what makes the consumer's aligned slicing work.
+#   igdn_deconv_tail_packed : consumes that packed layout directly —
+#     IGDN per row-phase slice (384 lanes, kron(I₂, γ) pairs the column
+#     phases), then the narrow sub-pixel deconv as NINE packed-cell block
+#     dots whose weights bake the phase structure (built by
+#     ``_pack_tail_kernel``). Emits (B·H·W, 16F) pre-shuffle; only the tiny
+#     RGB tensor (≈25 MB/frame) goes through an XLA un-scramble epilogue.
+#
+# The shuffled intermediate never exists: one VMEM round-trip per stage,
+# sublane/lane traffic only where 128-aligned. Reference behavior being
+# fused: compressai/layers/gdn.py:22-66 (IGDN) + models/utils.py:124-130
+# (the k5 s2 ConvTranspose2d pairs of g_s, priors.py:348-360).
+
+FUSE_GS_PACKED = True  # A/B knob (chain measurement: tools/gs_packed_tune.py)
+
+
+def _phase_major_cols(o: int) -> np.ndarray:
+    """Column permutation (o, a, b) → (a, b, o): perm[new] = old index."""
+    perm = np.empty(4 * o, np.int64)
+    for a in range(2):
+        for b2 in range(2):
+            for oc in range(o):
+                perm[a * 2 * o + b2 * o + oc] = oc * 4 + a * 2 + b2
+    return perm
+
+
+def _unpack_phase_major(xp, o: int):
+    """(B, H, W, 4O) phase-major packed → logical (B, 2H, 2W, O) (XLA)."""
+    b, h, w, _ = xp.shape
+    v = xp.reshape(b, h, w, 2, 2, o)
+    return v.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, o)
+
+
+def _igdn_deconv_wide_packed_ref(x, gamma_t, beta, kernel, bias):
+    y = _igdn_deconv_ref(x, gamma_t, beta, kernel, bias, 2)
+    b, h2, w2, o = y.shape
+    v = y.reshape(b, h2 // 2, 2, w2 // 2, 2, o)
+    return v.transpose(0, 1, 3, 2, 4, 5).reshape(b, h2 // 2, w2 // 2, 4 * o)
+
+
+def igdn_deconv_wide_packed_applicable(x, features: int, kernel_size: int,
+                                       stride: int) -> bool:
+    """Same geometry gate as the shuffled wide kernel, but under the packed
+    chain knob (it ships ON — the epilogue that lost the A/B is gone)."""
+    if not (FUSE_GS_PACKED and pallas_enabled()):
+        return False
+    if x.ndim != 4 or stride != 2 or kernel_size != 5:
+        return False
+    if x.dtype != jnp.bfloat16:
+        return False
+    b, h, w, c = x.shape
+    # the consumer slices the packed lanes at 2O boundaries — they must be
+    # 128-aligned (2·192 = 384 ✓ for the production g_s)
+    if c % 64 or c < 128 or (2 * features) % 128 or features < 128:
+        return False
+    if w % 8:
+        return False
+    return _wide_th(x, features * stride * stride) is not None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def igdn_deconv_wide_packed(x, gamma_t, beta, kernel, bias,
+                            interpret: bool = False):
+    """IGDN + wide k5 s2 deconv returning the PHASE-MAJOR PACKED output
+    (B, H, W, 4O), lane index a·2O + b·O + o for logical pixel (2r+a, 2c+b)
+    — no pixel shuffle. Consumer: igdn_deconv_tail_packed."""
+    b, h, w, c = x.shape
+    o = kernel.shape[-1]
+    if not (interpret or igdn_deconv_wide_packed_applicable(
+            x, o, kernel.shape[0], 2)):
+        return _igdn_deconv_wide_packed_ref(x, gamma_t, beta, kernel, bias)
+
+    from ..layers.conv import _subpixel_kernel
+
+    sub, rk, pl_, ph = _subpixel_kernel(kernel, kernel.shape[0], 2)
+    assert (rk, pl_, ph) == (3, 1, 1), (rk, pl_, ph)
+    o4 = 4 * o
+    perm = _phase_major_cols(o)
+    wp = sub.reshape(9 * c, o4)[:, perm]
+    bias_f = (jnp.zeros((o,), jnp.float32) if bias is None
+              else bias.astype(jnp.float32))
+    bias4 = jnp.tile(bias_f, 4)[None, :]  # (a, b, o) order
+    out = _igdn_deconv_wide_call(x, gamma_t, beta, wp, bias4, o4, interpret)
+    return out.reshape(b, h, w, o4)
+
+
+def _igdn_deconv_wide_packed_fwd(x, gamma_t, beta, kernel, bias, interpret):
+    out = igdn_deconv_wide_packed(x, gamma_t, beta, kernel, bias, interpret)
+    return out, (x, gamma_t, beta, kernel, bias)
+
+
+def _igdn_deconv_wide_packed_bwd(interpret, res, g):
+    x, gamma_t, beta, kernel, bias = res
+    has_bias = bias is not None
+
+    def ref(x_, gt_, b_, k_, bs_):
+        return _igdn_deconv_wide_packed_ref(x_, gt_, b_, k_,
+                                            bs_ if has_bias else None)
+
+    _, vjp = jax.vjp(ref, x, gamma_t, beta, kernel,
+                     bias if has_bias else jnp.zeros((kernel.shape[-1],),
+                                                     jnp.float32))
+    gx, ggt, gb, gk, gbs = vjp(g.astype(x.dtype))
+    return gx, ggt, gb, gk, (gbs if has_bias else None)
+
+
+igdn_deconv_wide_packed.defvjp(_igdn_deconv_wide_packed_fwd,
+                               _igdn_deconv_wide_packed_bwd)
+
+
+def _pack_tail_kernel(kernel, c: int):
+    """Narrow deconv kernel (5, 5, C, F) → the nine packed-cell tap blocks
+    (9·4C, 16F) for the phase-major packed input.
+
+    Output lane layout per packed cell: (a, b, o·4 + a'·2 + b') — outer
+    (a, b) = which logical pixel of the cell, inner 4F = that pixel's own
+    sub-pixel block in _subpixel_kernel's torch order (the epilogue
+    unscrambles both levels at once). For logical tap (dy, dx) of output
+    pixel (a, b): logical row a+dy lands in packed-cell row offset
+    (a+dy)//2 at input row-phase (a+dy)%2 — input channel block
+    (ai·2 + bi)·C. Tap blocks are stacked in _WIDE_BLOCKS order."""
+    from ..layers.conv import _subpixel_kernel
+
+    sub, rk, pl_, ph = _subpixel_kernel(kernel, kernel.shape[0], 2)
+    assert (rk, pl_, ph) == (3, 1, 1), (rk, pl_, ph)
+    f4 = sub.shape[-1]  # F·s²
+    sub = np.asarray(sub)
+    blocks = np.zeros((3, 3, 4 * c, 4 * f4), sub.dtype)
+    for a in range(2):
+        for b2 in range(2):
+            ocol = (a * 2 + b2) * f4
+            for dy in (-1, 0, 1):
+                lr = a + dy
+                dm, ai = lr // 2, lr % 2
+                for dx in (-1, 0, 1):
+                    lc = b2 + dx
+                    dn, bi = lc // 2, lc % 2
+                    irow = (ai * 2 + bi) * c
+                    blocks[dm + 1, dn + 1, irow:irow + c,
+                           ocol:ocol + f4] += sub[dy + 1, dx + 1]
+    return jnp.asarray(np.concatenate(
+        [blocks[dm + 1, dn + 1] for dm, dn in _WIDE_BLOCKS], axis=0
+    ))
+
+
+def _tail_packed_kernel(x_ref, g2_ref, beta2_ref, w_ref, bias_ref,
+                        out_ref, win_ref, *, th, w, c, f16, stripes):
+    """One stripe of the packed tail: IGDN per row-phase slice during the
+    window fill (2O = 2C lanes each, kron(I₂, γ) pairs the column phases),
+    then nine whole-stripe packed-cell dots into the (th·w, 16F)
+    accumulator."""
+    c2 = 2 * c
+    c4 = 4 * c
+
+    def igdn(v):
+        vf = v.astype(jnp.float32)
+        parts = []
+        for a in range(2):
+            va = vf[:, a * c2:(a + 1) * c2]
+            n = jnp.dot(va * va, g2_ref[:],
+                        preferred_element_type=jnp.float32) + beta2_ref[:]
+            parts.append(va * jnp.sqrt(n))
+        return jnp.concatenate(parts, axis=-1).astype(win_ref.dtype)
+
+    zero = jnp.zeros((1, c4), win_ref.dtype)
+    win_ref[0:1] = zero
+    win_ref[1 + (th + 2) * w:] = zero
+    si = pl.program_id(0) % stripes
+    for r in range(th + 2):
+        v = x_ref[r * w:(r + 1) * w]
+        if r == 0:
+            v = jnp.where(si == 0, jnp.zeros((), v.dtype), v)
+        elif r == th + 1:
+            v = jnp.where(si == stripes - 1, jnp.zeros((), v.dtype), v)
+        win_ref[1 + r * w:1 + (r + 1) * w] = igdn(v)
+
+    jc = jax.lax.broadcasted_iota(jnp.int32, (th * w, 1), 0) % w
+    m_lo = (jc != 0).astype(jnp.float32)
+    m_hi = (jc != w - 1).astype(jnp.float32)
+    acc = jnp.zeros((th * w, f16), jnp.float32) + bias_ref[:]
+    for bi, (dm, dn) in enumerate(_WIDE_BLOCKS):
+        slab = win_ref[1 + (dm + 1) * w + dn:1 + (dm + 1) * w + dn + th * w]
+        d = jnp.dot(slab, w_ref[bi * c4:(bi + 1) * c4],
+                    preferred_element_type=jnp.float32)
+        if dn == -1:
+            d = d * m_lo
+        elif dn == 1:
+            d = d * m_hi
+        acc = acc + d
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _tail_packed_th(xp, f16):
+    b, h, w, c4 = xp.shape
+    isz = jnp.dtype(xp.dtype).itemsize
+    for th in (8, 4, 2, 1):
+        if h % th:
+            continue
+        vmem = (2 * (th + 2) * w * c4 * isz      # x windows (pipelined)
+                + ((th + 2) * w + 2) * c4 * 2    # IGDN'd window (bf16)
+                + 3 * w * c4 * 4                 # igdn f32 temps
+                + 9 * c4 * f16 * 2               # packed tap weights
+                + (c4 // 2) ** 2 * 4             # γ₂ (f32)
+                + th * w * f16 * 4               # f32 accumulator
+                + 2 * th * w * f16 * 2)          # out blocks (pipelined)
+        if vmem <= 15_900_000:
+            return th
+    return None
+
+
+def _igdn_deconv_tail_packed_ref(xp, gamma_t, beta, kernel, bias):
+    c = xp.shape[-1] // 4
+    x = _unpack_phase_major(xp, c)
+    return _igdn_deconv_ref(x, gamma_t, beta, kernel, bias, 2)
+
+
+def igdn_deconv_tail_packed_applicable(xp, features: int, kernel_size: int,
+                                       stride: int) -> bool:
+    if not (FUSE_GS_PACKED and pallas_enabled()):
+        return False
+    if xp.ndim != 4 or stride != 2 or kernel_size != 5:
+        return False
+    if xp.dtype != jnp.bfloat16:
+        return False
+    b, h, w, c4 = xp.shape
+    if c4 % 256 or c4 < 512:  # per-phase slice (c4/2) must be lane-aligned
+        return False
+    if features * 16 > 128 or w % 8:
+        return False
+    return _tail_packed_th(xp, features * 16) is not None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def igdn_deconv_tail_packed(xp, gamma_t, beta, kernel, bias,
+                            interpret: bool = False):
+    """IGDN + narrow k5 s2 deconv CONSUMING the phase-major packed layout
+    (B, H, W, 4C) from igdn_deconv_wide_packed — logical input
+    (B, 2H, 2W, C), output (B, 4H, 4W, F). gamma_t/beta are the logical
+    C-channel IGDN params; kernel (5, 5, C, F) flipped torch weight."""
+    b, h, w, c4 = xp.shape
+    c = c4 // 4
+    f = kernel.shape[-1]
+    if not (interpret or igdn_deconv_tail_packed_applicable(
+            xp, f, kernel.shape[0], 2)):
+        return _igdn_deconv_tail_packed_ref(xp, gamma_t, beta, kernel, bias)
+
+    f16 = 16 * f
+    th = _tail_packed_th(xp, f16) or (1 if interpret else None)
+    stripes = h // th
+    win_dtype = xp.dtype if interpret else jnp.bfloat16
+    # γ paired over the column phases (per row-phase slice): kron(I₂, γᵀ)
+    g2 = jnp.zeros((2 * c, 2 * c), jnp.float32)
+    gt = gamma_t.astype(jnp.float32)
+    g2 = g2.at[:c, :c].set(gt).at[c:, c:].set(gt)
+    beta2 = jnp.tile(beta.astype(jnp.float32), 2)[None, :]
+    wp = _pack_tail_kernel(kernel, c)
+    bias_f = (jnp.zeros((f,), jnp.float32) if bias is None
+              else bias.astype(jnp.float32))
+    bias16 = jnp.tile(jnp.repeat(bias_f, 4), 4)[None, :]  # (a, b, o, a', b')
+
+    x3 = jnp.pad(xp.reshape(b, h * w, c4), ((0, 0), (w, w), (0, 0)))
+    win_rows = (th + 2) * w
+    out = pl.pallas_call(
+        functools.partial(_tail_packed_kernel, th=th, w=w, c=c, f16=f16,
+                          stripes=stripes),
+        out_shape=jax.ShapeDtypeStruct((b * h * w, f16), xp.dtype),
+        grid=(b * stripes,),
+        in_specs=[
+            pl.BlockSpec(
+                (None, pl.Element(win_rows), pl.Element(c4)),
+                lambda i: (i // stripes, (i % stripes) * th * w, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((th * w, f16), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows + 2, c4), win_dtype),
+        ],
+        interpret=interpret,
+    )(x3, g2, beta2, wp.astype(win_dtype), bias16)
+
+    # epilogue on the small RGB tensor only (~25 MB/frame at 1080p):
+    # lanes (a, b, o, a', b') → out[4r + 2a + a', 4m + 2b + b', o]
+    v = out.reshape(b, h, w, 2, 2, f, 2, 2)  # a, b, o, a', b'
+    v = v.transpose(0, 1, 3, 6, 2, 4, 7, 5)  # b, h, a, a', w, b, b', o
+    return v.reshape(b, 4 * h, 4 * w, f)
+
+
+def _igdn_deconv_tail_packed_fwd(xp, gamma_t, beta, kernel, bias, interpret):
+    out = igdn_deconv_tail_packed(xp, gamma_t, beta, kernel, bias, interpret)
+    return out, (xp, gamma_t, beta, kernel, bias)
+
+
+def _igdn_deconv_tail_packed_bwd(interpret, res, g):
+    xp, gamma_t, beta, kernel, bias = res
+    has_bias = bias is not None
+
+    def ref(x_, gt_, b_, k_, bs_):
+        return _igdn_deconv_tail_packed_ref(x_, gt_, b_, k_,
+                                            bs_ if has_bias else None)
+
+    _, vjp = jax.vjp(ref, xp, gamma_t, beta, kernel,
+                     bias if has_bias else jnp.zeros((kernel.shape[-1],),
+                                                     jnp.float32))
+    gx, ggt, gb, gk, gbs = vjp(g.astype(xp.dtype))
+    return gx, ggt, gb, gk, (gbs if has_bias else None)
+
+
+igdn_deconv_tail_packed.defvjp(_igdn_deconv_tail_packed_fwd,
+                               _igdn_deconv_tail_packed_bwd)

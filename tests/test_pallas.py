@@ -336,3 +336,118 @@ class TestFusedIGDNDeconvWide:
                                   kernel, bias, 2)
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(ref), atol=6e-2, rtol=3e-2)
+
+
+class TestPackedGsChain:
+    """Packed g_s chain (VERDICT r3 #4): igdn_deconv_wide_packed emits the
+    phase-major pre-shuffle layout, igdn_deconv_tail_packed consumes it —
+    the shuffled intermediate never materializes. Both must equal the XLA
+    composition, individually and chained."""
+
+    def _weights(self, c, o, k=5, seed=0):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+        gamma_t = jnp.abs(jax.random.normal(ks[0], (c, c))) * 0.01
+        beta = jnp.ones(c)
+        kernel = jax.random.normal(ks[1], (k, k, c, o)) * 0.05
+        bias = jax.random.normal(ks[2], (o,)) * 0.1
+        return gamma_t, beta, kernel, bias
+
+    def test_wide_packed_matches_shuffled(self):
+        c, o = 32, 40
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 8, c)) * 0.5
+        gamma_t, beta, kernel, bias = self._weights(c, o)
+        packed = pk.igdn_deconv_wide_packed(x, gamma_t, beta, kernel, bias,
+                                            True)
+        assert packed.shape == (1, 4, 8, 4 * o)
+        unpacked = pk._unpack_phase_major(packed, o)
+        ref = pk._igdn_deconv_ref(x, gamma_t, beta, kernel, bias, 2)
+        np.testing.assert_allclose(np.asarray(unpacked), np.asarray(ref),
+                                   atol=2e-4)
+
+    @pytest.mark.parametrize("shape,f", [((1, 4, 8, 4 * 32), 3),
+                                         ((2, 3, 9, 4 * 16), 4)])
+    def test_tail_packed_matches_composition(self, shape, f):
+        c = shape[-1] // 4
+        xp = jax.random.normal(jax.random.PRNGKey(2), shape) * 0.5
+        gamma_t, beta, kernel, bias = self._weights(c, f)
+        got = pk.igdn_deconv_tail_packed(xp, gamma_t, beta, kernel, bias,
+                                         True)
+        ref = pk._igdn_deconv_tail_packed_ref(xp, gamma_t, beta, kernel,
+                                              bias)
+        assert got.shape == (shape[0], 4 * shape[1], 4 * shape[2], f)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_full_packed_chain_matches_unfused(self):
+        """wide_packed → tail_packed == IGDN→deconv→IGDN→deconv (XLA)."""
+        c, o, f = 24, 32, 3
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 6, c)) * 0.5
+        g1, b1, k1, s1 = self._weights(c, o, seed=4)
+        g2, b2, k2, s2 = self._weights(o, f, seed=5)
+        mid_ref = pk._igdn_deconv_ref(x, g1, b1, k1, s1, 2)
+        ref = pk._igdn_deconv_ref(mid_ref, g2, b2, k2, s2, 2)
+        packed = pk.igdn_deconv_wide_packed(x, g1, b1, k1, s1, True)
+        got = pk.igdn_deconv_tail_packed(packed, g2, b2, k2, s2, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-4)
+
+    def test_tail_packed_gradients_match(self):
+        c, f = 16, 3
+        xp = jax.random.normal(jax.random.PRNGKey(6), (1, 3, 5, 4 * c)) * 0.5
+        gamma_t, beta, kernel, bias = self._weights(c, f)
+        gf = jax.grad(
+            lambda *a: pk.igdn_deconv_tail_packed(*a, True).sum(),
+            argnums=(0, 1, 2, 3, 4))(xp, gamma_t, beta, kernel, bias)
+        gr = jax.grad(
+            lambda *a: pk._igdn_deconv_tail_packed_ref(*a).sum(),
+            argnums=(0, 1, 2, 3, 4))(xp, gamma_t, beta, kernel, bias)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+    def test_bf16_io(self):
+        c, o, f = 64, 32, 3
+        x = jax.random.normal(jax.random.PRNGKey(7), (1, 4, 8, c),
+                              jnp.bfloat16)
+        g1, b1, k1, s1 = self._weights(c, o, seed=8)
+        g2, b2, k2, s2 = self._weights(o, f, seed=9)
+        packed = pk.igdn_deconv_wide_packed(x, g1, b1, k1, s1, True)
+        got = pk.igdn_deconv_tail_packed(packed, g2, b2, k2, s2, True)
+        assert got.dtype == jnp.bfloat16
+        mid = pk._igdn_deconv_ref(x.astype(jnp.float32), g1, b1, k1, s1, 2)
+        ref = pk._igdn_deconv_ref(mid, g2, b2, k2, s2, 2)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref), atol=6e-2, rtol=3e-2)
+
+    def test_sequential_quadruple_peephole(self, monkeypatch):
+        """The packed g_s quadruple peephole (GDN⁻¹→Deconv→GDN⁻¹→Deconv)
+        must match the plain chain with identical params."""
+        from spatiotemporalentropymodel_tpu.layers import (
+            GDN, Deconv, Sequential)
+
+        seq = Sequential([GDN(24, inverse=True), Deconv(32, 5, 2),
+                          GDN(32, inverse=True), Deconv(3, 5, 2)])
+        x = jax.random.normal(jax.random.PRNGKey(10), (1, 4, 6, 24)) * 0.5
+        params = seq.init(jax.random.PRNGKey(11), x)
+        y_plain = seq.apply(params, x)
+
+        ow = pk.igdn_deconv_wide_packed
+        ot = pk.igdn_deconv_tail_packed
+        monkeypatch.setattr(pk, "igdn_deconv_wide_packed_applicable",
+                            lambda *a, **k: True)
+        monkeypatch.setattr(pk, "igdn_deconv_tail_packed_applicable",
+                            lambda *a, **k: True)
+        monkeypatch.setattr(pk, "igdn_deconv_wide_packed",
+                            lambda *a: ow(*a, True))
+        monkeypatch.setattr(pk, "igdn_deconv_tail_packed",
+                            lambda *a: ot(*a, True))
+        params_fused = seq.init(jax.random.PRNGKey(11), x)
+        y_fused = seq.apply(params_fused, x)
+
+        assert jax.tree_util.tree_structure(
+            params) == jax.tree_util.tree_structure(params_fused)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params_fused)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain),
+                                   atol=5e-4)
