@@ -26,7 +26,7 @@ import numpy as np
 from ..entropy import EntropyBottleneck, GaussianConditional, build_indexes
 from ..entropy import base as entropy_base
 from ..layers import Conv, Deconv, Sequential, leaky_relu
-from ..ops.quantize import quantize_dequantize, quantize_noise
+from ..ops.quantize import ste_round
 from .base import CompressionModel
 
 
@@ -133,10 +133,6 @@ class ChannelARSTEMModule(nn.Module):
         priors = self.priors(z_hat, y_conditioned)
 
         target = y_cur - y_conditioned if self.residual else y_cur
-        if train:
-            target_hat = quantize_noise(target, self.make_rng("noise"))
-        else:
-            target_hat = quantize_dequantize(target)
 
         gs = self.group_size
         liks, decoded = [], []
@@ -144,18 +140,23 @@ class ChannelARSTEMModule(nn.Module):
             ctx = (
                 jnp.concatenate(decoded, axis=-1)
                 if decoded
-                else target_hat[..., :0]
+                else target[..., :0]
             )
             scales, means = self.group_params(priors, ctx, g)
-            _, lik_g = self.gaussian_conditional(
-                target[..., g * gs : (g + 1) * gs], scales, means, train=train
-            )
+            t_g = target[..., g * gs : (g + 1) * gs]
+            _, lik_g = self.gaussian_conditional(t_g, scales, means,
+                                                 train=train)
             liks.append(lik_g)
-            decoded.append(
-                self.lrp_refine(
-                    priors, ctx, target_hat[..., g * gs : (g + 1) * gs], g
-                )
-            )
+            # context/reconstruction quantized EXACTLY like the coder:
+            # round(t - mu) + mu, straight-through in training (Minnen &
+            # Singh 2020 §III-A quantize the conditioning values with STE
+            # rounding, not noise). The pre-round-4 mean-free round(t)
+            # context diverged from the serving path's sym + mu — retrained
+            # models carried a +50% actual-vs-estimated rate gap because
+            # every later group's (sigma, mu) was predicted from a context
+            # distribution never seen at encode time.
+            t_hat_g = ste_round(t_g - means) + means
+            decoded.append(self.lrp_refine(priors, ctx, t_hat_g, g))
         y_lik = jnp.concatenate(liks, axis=-1)
         target_out = jnp.concatenate(decoded, axis=-1)
         y_hat = target_out + y_conditioned if self.residual else target_out

@@ -104,6 +104,21 @@ class TestCodec:
         np.testing.assert_allclose(np.asarray(dec["y_hat"]), expected,
                                    atol=1e-5)
 
+    def test_forward_matches_serving_reconstruction(self, model):
+        """Eval forward must quantize the AR context exactly like the coder
+        (round(t - mu) + mu): its y_hat equals the decompress output
+        bit-for-bit. Round-4 regression guard — the earlier mean-free
+        round(t) context made every later group's (sigma, mu) prediction
+        distribution-shifted at encode time (+50% actual-vs-estimated rate
+        on trained charm models, artifacts/bakeoff.json r3)."""
+        y_cur, y_cond = _latents(seed=3)
+        out = model.forward(y_cur, y_cond)
+        enc = model.compress(y_cur, y_cond)
+        dec = model.decompress(enc["strings"], enc["shape"], y_cond,
+                               transport_mode=enc["transport"])
+        np.testing.assert_array_equal(
+            np.asarray(out["y_hat"]), np.asarray(dec["y_hat"]))
+
     def test_bitstream_deterministic(self, model):
         y_cur, y_cond = _latents()
         e1 = model.compress(y_cur, y_cond)

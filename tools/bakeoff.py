@@ -33,9 +33,14 @@ N, M, EBC = 64, 96, 64
 CROP = 128
 LAMBDAS = [0.0003, 0.001, 0.004, 0.016]  # sweep (without_spm serving model)
 LMB_BAKE = 0.004                          # bake-off rate point
+BD_LAMBDAS = [0.001, 0.004, 0.016]        # charm-vs-res BD-rate grid
 EVAL_HW = 256                             # GOP eval frames (latent 16×16)
 TILES = [(4, 16), (4, 4), (2, 4)]         # tiled-res eval configs (th, tw)
 CHARM_GROUPS = [4, 8]
+# hero config (VERDICT r3 #5): production capacity, longer schedule — one
+# checkpoint that serves at <=0.25 bpp with >=30 dB through the REAL 1080p
+# pipeline (M matches the serving pipeline's 192)
+HERO = dict(N=128, M=192, EBC=128, lmbda=0.008, i_steps=8000, p_steps=3000)
 
 
 def _structured_frames(rng, n_frames=7, hw=(CROP, CROP), noise=0.0):
@@ -211,6 +216,18 @@ def cmd_train(args):
             ChannelARSTEMModule(g, EBC, M, residual=True, lrp=True),
             LMB_BAKE, i_bake, data_vimeo, workdir, args.p_steps,
         )
+
+    # BD-rate grid (VERDICT r3 #3): res and charm at >=3 shared rate points
+    g_bd = CHARM_GROUPS[0]
+    for lmbda in BD_LAMBDAS:
+        i_model = _train_i(lmbda, data_img, workdir, args.i_steps)
+        _train_p(f"res_{lmbda}", "res", lmbda, i_model, data_vimeo, workdir,
+                 args.p_steps)
+        _train_p(
+            f"charm{g_bd}_{lmbda}",
+            ChannelARSTEMModule(g_bd, EBC, M, residual=True, lrp=True),
+            lmbda, i_model, data_vimeo, workdir, args.p_steps,
+        )
     print("training complete", flush=True)
 
 
@@ -257,6 +274,33 @@ def _eval_cfg(i_model, stem, data_gop, gop=12):
     avg = res["average"]
     return {"bpp": avg["bpp"], "psnr": avg["psnr"],
             "bpp_est": avg["bpp_est"]}
+
+
+def bd_rate(anchor, test):
+    """Bjøntegaard delta-rate (%) of ``test`` vs ``anchor``.
+
+    anchor/test: lists of (bpp, psnr). Cubic fit of log-rate as a function
+    of PSNR, integrated over the overlapping PSNR interval (the standard
+    BD-rate recipe, VCEG-M33). Positive = test needs more rate."""
+    import numpy as _np
+
+    def fit(points):
+        pts = sorted(points, key=lambda p: p[1])
+        r = _np.log([p[0] for p in pts])
+        d = _np.array([p[1] for p in pts])
+        deg = min(3, len(pts) - 1)
+        return _np.polyfit(d, r, deg), d.min(), d.max()
+
+    pa, lo_a, hi_a = fit(anchor)
+    pt, lo_t, hi_t = fit(test)
+    lo, hi = max(lo_a, lo_t), min(hi_a, hi_t)
+    if hi <= lo:
+        return None
+    ia = _np.polyint(pa)
+    it = _np.polyint(pt)
+    avg_a = (_np.polyval(ia, hi) - _np.polyval(ia, lo)) / (hi - lo)
+    avg_t = (_np.polyval(it, hi) - _np.polyval(it, lo)) / (hi - lo)
+    return float((_np.exp(avg_t - avg_a) - 1.0) * 100.0)
 
 
 def cmd_eval(args):
@@ -318,6 +362,42 @@ def cmd_eval(args):
         print("bakeoff without_spm:", out["bakeoff"]["without_spm"],
               flush=True)
 
+    # charm-vs-res BD-rate over the shared λ grid (VERDICT r3 #3)
+    g_bd = CHARM_GROUPS[0]
+    bd = {"lambdas": [], "res": [], f"charm_g{g_bd}": []}
+    for lmbda in BD_LAMBDAS:
+        nr, nc = f"res_{lmbda}", f"charm{g_bd}_{lmbda}"
+        if not (os.path.exists(_p_ckpt(workdir, nr))
+                and os.path.exists(_p_ckpt(workdir, nc))):
+            continue
+        i_model = _load_i(workdir, lmbda)
+        res_m = _load_p(workdir, nr, lambda: SpatioTemporalPriorModel(
+            variant="res", entropy_bottleneck_channels=EBC, in_channels=M))
+        charm_m = _load_p(
+            workdir, nc, lambda: SpatioTemporalPriorModelChannelAR(
+                groups=g_bd, entropy_bottleneck_channels=EBC,
+                in_channels=M, lrp=True))
+        er = _eval_cfg(i_model, res_m, data_gop)
+        ec = _eval_cfg(i_model, charm_m, data_gop)
+        bd["lambdas"].append(lmbda)
+        bd["res"].append(er)
+        bd[f"charm_g{g_bd}"].append(ec)
+        print(f"bd λ={lmbda}: res={er} charm={ec}", flush=True)
+    if len(bd["lambdas"]) >= 3:
+        pts_r = [(p["bpp"], p["psnr"]) for p in bd["res"]]
+        pts_c = [(p["bpp"], p["psnr"]) for p in bd[f"charm_g{g_bd}"]]
+        bd["bd_rate_charm_vs_res_pct"] = bd_rate(pts_r, pts_c)
+        bd["coding_gap_pct"] = {
+            "res": [round(100 * (p["bpp"] / p["bpp_est"] - 1), 1)
+                    for p in bd["res"]],
+            f"charm_g{g_bd}": [round(100 * (p["bpp"] / p["bpp_est"] - 1), 1)
+                               for p in bd[f"charm_g{g_bd}"]],
+        }
+        print("BD-rate charm vs res:",
+              bd["bd_rate_charm_vs_res_pct"], "%", flush=True)
+    if bd["lambdas"]:
+        out["bd"] = bd
+
     os.makedirs(args.out_dir, exist_ok=True)
     path = os.path.join(args.out_dir, "bakeoff.json")
     with open(path, "w") as f:
@@ -331,10 +411,65 @@ def cmd_eval(args):
     print("wrote", path, flush=True)
 
 
+def cmd_hero(args):
+    """Production-capacity single-config run (VERDICT r3 #5): train an
+    M=192 res pipeline long enough to serve at <=0.25 bpp / >=30 dB on the
+    GOP eval set, then gzip the checkpoints under artifacts/trained/hero/
+    (with a hero.json sidecar) for bench.py's trained_weights section."""
+    global N, M, EBC
+    N, M, EBC = HERO["N"], HERO["M"], HERO["EBC"]
+    if args.workdir == "artifacts/bakeoff":  # don't mix capacities
+        args.workdir = "artifacts/hero"
+    lmbda = args.hero_lmbda
+    i_steps = args.i_steps if args.i_steps != 3000 else HERO["i_steps"]
+    p_steps = args.p_steps if args.p_steps != 1500 else HERO["p_steps"]
+
+    workdir = os.path.abspath(args.workdir)
+    os.makedirs(workdir, exist_ok=True)
+    data_img, data_vimeo, data_gop = make_data(os.path.join(workdir, "data"))
+
+    from spatiotemporalentropymodel_tpu.models import SpatioTemporalPriorModel
+
+    i_model = _train_i(lmbda, data_img, workdir, i_steps)
+    print(f"hero I-model λ={lmbda} ready", flush=True)
+    _train_p(f"res_{lmbda}", "res", lmbda, i_model, data_vimeo, workdir,
+             p_steps)
+
+    stem = _load_p(workdir, f"res_{lmbda}",
+                   lambda: SpatioTemporalPriorModel(
+                       variant="res", entropy_bottleneck_channels=EBC,
+                       in_channels=M))
+    point = _eval_cfg(i_model, stem, data_gop)
+    print("hero eval:", point, flush=True)
+
+    import gzip
+    import shutil
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    trained = os.path.join(args.out_dir, "trained", "hero")
+    os.makedirs(trained, exist_ok=True)
+    for src in (f"ckpt_i_{lmbda}.pkl", f"ckpt_p_res_{lmbda}.pkl"):
+        sp = os.path.join(workdir, src)
+        with open(sp, "rb") as fi, gzip.open(
+                os.path.join(trained, src + ".gz"), "wb") as fo:
+            shutil.copyfileobj(fi, fo)
+    meta = {"config": {**HERO, "lmbda": lmbda, "crop": CROP,
+                       "eval_hw": EVAL_HW, "i_steps": i_steps,
+                       "p_steps": p_steps},
+            "eval": point}
+    with open(os.path.join(trained, "hero.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    path = os.path.join(args.out_dir, "hero.json")
+    with open(path, "w") as f:
+        json.dump(meta, f, indent=2)
+    print("wrote", path, "and", trained, flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for cname, fn in (("train", cmd_train), ("eval", cmd_eval)):
+    for cname, fn in (("train", cmd_train), ("eval", cmd_eval),
+                      ("hero", cmd_hero)):
         p = sub.add_parser(cname)
         p.add_argument("--workdir", default="artifacts/bakeoff")
         p.add_argument("--i-steps", type=int, default=3000)
@@ -345,6 +480,7 @@ def main():
         p.add_argument("--lambdas", type=float, nargs="+", default=None,
                        help="override the λ sweep grid (smoke tests)")
         p.add_argument("--charm-groups", type=int, nargs="+", default=None)
+        p.add_argument("--hero-lmbda", type=float, default=HERO["lmbda"])
         p.set_defaults(fn=fn)
     args = ap.parse_args()
 
