@@ -1051,8 +1051,9 @@ def _pack_tail_kernel(kernel, c: int):
     sub, rk, pl_, ph = _subpixel_kernel(kernel, kernel.shape[0], 2)
     assert (rk, pl_, ph) == (3, 1, 1), (rk, pl_, ph)
     f4 = sub.shape[-1]  # F·s²
-    sub = np.asarray(sub)
-    blocks = np.zeros((3, 3, 4 * c, 4 * f4), sub.dtype)
+    # all indices are static — .at[].add() keeps this traceable under jit
+    # (the weights are flax params, i.e. tracers inside the model jit)
+    blocks = jnp.zeros((3, 3, 4 * c, 4 * f4), sub.dtype)
     for a in range(2):
         for b2 in range(2):
             ocol = (a * 2 + b2) * f4
@@ -1063,11 +1064,12 @@ def _pack_tail_kernel(kernel, c: int):
                     lc = b2 + dx
                     dn, bi = lc // 2, lc % 2
                     irow = (ai * 2 + bi) * c
-                    blocks[dm + 1, dn + 1, irow:irow + c,
-                           ocol:ocol + f4] += sub[dy + 1, dx + 1]
-    return jnp.asarray(np.concatenate(
+                    blocks = blocks.at[
+                        dm + 1, dn + 1, irow:irow + c,
+                        ocol:ocol + f4].add(sub[dy + 1, dx + 1])
+    return jnp.concatenate(
         [blocks[dm + 1, dn + 1] for dm, dn in _WIDE_BLOCKS], axis=0
-    ))
+    )
 
 
 def _tail_packed_kernel(x_ref, g2_ref, beta2_ref, w_ref, bias_ref,
