@@ -432,15 +432,21 @@ def cmd_hero(args):
 
     i_model = _train_i(lmbda, data_img, workdir, i_steps)
     print(f"hero I-model λ={lmbda} ready", flush=True)
+    # res = the RD point (flagship family); without_spm = the parallel
+    # serving pipeline's model (StemVideoPipeline drives non-SPM variants)
     _train_p(f"res_{lmbda}", "res", lmbda, i_model, data_vimeo, workdir,
              p_steps)
+    _train_p(f"without_spm_{lmbda}", "without_spm", lmbda, i_model,
+             data_vimeo, workdir, p_steps)
 
-    stem = _load_p(workdir, f"res_{lmbda}",
-                   lambda: SpatioTemporalPriorModel(
-                       variant="res", entropy_bottleneck_channels=EBC,
-                       in_channels=M))
-    point = _eval_cfg(i_model, stem, data_gop)
-    print("hero eval:", point, flush=True)
+    evals = {}
+    for variant in ("res", "without_spm"):
+        stem = _load_p(workdir, f"{variant}_{lmbda}",
+                       lambda: SpatioTemporalPriorModel(
+                           variant=variant, entropy_bottleneck_channels=EBC,
+                           in_channels=M))
+        evals[variant] = _eval_cfg(i_model, stem, data_gop)
+        print(f"hero eval {variant}:", evals[variant], flush=True)
 
     import gzip
     import shutil
@@ -448,7 +454,8 @@ def cmd_hero(args):
     os.makedirs(args.out_dir, exist_ok=True)
     trained = os.path.join(args.out_dir, "trained", "hero")
     os.makedirs(trained, exist_ok=True)
-    for src in (f"ckpt_i_{lmbda}.pkl", f"ckpt_p_res_{lmbda}.pkl"):
+    for src in (f"ckpt_i_{lmbda}.pkl", f"ckpt_p_res_{lmbda}.pkl",
+                f"ckpt_p_without_spm_{lmbda}.pkl"):
         sp = os.path.join(workdir, src)
         with open(sp, "rb") as fi, gzip.open(
                 os.path.join(trained, src + ".gz"), "wb") as fo:
@@ -456,7 +463,7 @@ def cmd_hero(args):
     meta = {"config": {**HERO, "lmbda": lmbda, "crop": CROP,
                        "eval_hw": EVAL_HW, "i_steps": i_steps,
                        "p_steps": p_steps},
-            "eval": point}
+            "eval": evals}
     with open(os.path.join(trained, "hero.json"), "w") as f:
         json.dump(meta, f, indent=2)
     path = os.path.join(args.out_dir, "hero.json")
@@ -484,10 +491,11 @@ def main():
         p.set_defaults(fn=fn)
     args = ap.parse_args()
 
-    global LAMBDAS, LMB_BAKE, CHARM_GROUPS
+    global LAMBDAS, LMB_BAKE, CHARM_GROUPS, BD_LAMBDAS
     if args.lambdas:
         LAMBDAS = list(args.lambdas)
         LMB_BAKE = LAMBDAS[-1]
+        BD_LAMBDAS = LAMBDAS  # keep smoke runs inside the override grid
     if args.charm_groups:
         CHARM_GROUPS = list(args.charm_groups)
 

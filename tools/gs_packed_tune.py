@@ -73,6 +73,12 @@ def main():
                       FUSE_GS_PACKED=False)),
         ("packed", dict(FUSE_IGDN_DECONV=True, FUSE_IGDN_DECONV_WIDE=True,
                         FUSE_GS_PACKED=True)),
+        # the shipped defaults: the interior IGDN->Deconv pair stays XLA
+        # (the shuffled wide kernel regresses in-chain), only the final
+        # quadruple runs packed
+        ("packed_no_wide", dict(FUSE_IGDN_DECONV=True,
+                                FUSE_IGDN_DECONV_WIDE=False,
+                                FUSE_GS_PACKED=True)),
     ]
     saved = {k: getattr(pk, k) for k in configs[-1][1]}
     rows, ref_out = [], None
