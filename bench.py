@@ -983,30 +983,61 @@ def run_trained_weights() -> dict:
     from spatiotemporalentropymodel_tpu.models import SpatioTemporalPriorModel
 
     here = os.path.dirname(os.path.abspath(__file__))
-    workdir = os.path.join(here, "artifacts", "bakeoff")
-    cands = sorted(glob.glob(os.path.join(workdir, "ckpt_p_without_spm_*")))
-    if not cands:
-        # fresh container: the live bake-off tree is gitignored, but compact
-        # .pkl.gz copies are committed under artifacts/trained/
-        workdir = os.path.join(here, "artifacts", "trained")
-        cands = sorted(
-            glob.glob(os.path.join(workdir, "ckpt_p_without_spm_*"))
+    # preferred: the production-capacity hero checkpoint (VERDICT r3 #5,
+    # tools/bakeoff.py hero — M matches the serving pipeline's 192)
+    hero_meta = None
+    for hero_dir in (os.path.join(here, "artifacts", "hero"),
+                     os.path.join(here, "artifacts", "trained", "hero")):
+        mp = os.path.join(hero_dir, "hero.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                hero_meta = json.load(f)
+            break
+    if hero_meta is not None:
+        cfg = hero_meta["config"]
+        bk.N, bk.M, bk.EBC = cfg["N"], cfg["M"], cfg["EBC"]
+        lmb = cfg["lmbda"]
+        workdir = hero_dir
+        i_model = bk._load_i(workdir, lmb)
+        stem = bk._load_p(
+            workdir, f"without_spm_{lmb}",
+            lambda: SpatioTemporalPriorModel(
+                variant="without_spm",
+                entropy_bottleneck_channels=cfg["EBC"],
+                in_channels=cfg["M"],
+            ),
         )
-    if not cands:
-        return {}
-    lmbdas = sorted(
-        float(os.path.basename(c).split("_")[-1].split(".pkl", 1)[0])
-        for c in cands
-    )
-    lmb = lmbdas[0]  # lowest rate point = the published operating range
-    i_model = bk._load_i(workdir, lmb)
-    stem = bk._load_p(
-        workdir, f"without_spm_{lmb}",
-        lambda: SpatioTemporalPriorModel(
-            variant="without_spm", entropy_bottleneck_channels=bk.EBC,
-            in_channels=bk.M,
-        ),
-    )
+        src = (f"tools/bakeoff.py hero λ={lmb} (N={cfg['N']}, "
+               f"M={cfg['M']}, EBC={cfg['EBC']}); "
+               f"GOP-eval {hero_meta.get('eval')}")
+    else:
+        workdir = os.path.join(here, "artifacts", "bakeoff")
+        cands = sorted(
+            glob.glob(os.path.join(workdir, "ckpt_p_without_spm_*")))
+        if not cands:
+            # fresh container: the live bake-off tree is gitignored, but
+            # compact .pkl.gz copies are committed under artifacts/trained/
+            workdir = os.path.join(here, "artifacts", "trained")
+            cands = sorted(
+                glob.glob(os.path.join(workdir, "ckpt_p_without_spm_*"))
+            )
+        if not cands:
+            return {}
+        lmbdas = sorted(
+            float(os.path.basename(c).split("_")[-1].split(".pkl", 1)[0])
+            for c in cands
+        )
+        lmb = lmbdas[0]  # lowest rate point = the published operating range
+        i_model = bk._load_i(workdir, lmb)
+        stem = bk._load_p(
+            workdir, f"without_spm_{lmb}",
+            lambda: SpatioTemporalPriorModel(
+                variant="without_spm", entropy_bottleneck_channels=bk.EBC,
+                in_channels=bk.M,
+            ),
+        )
+        src = (f"tools/bakeoff.py without_spm λ={lmb} "
+               f"(N={bk.N}, M={bk.M}, EBC={bk.EBC})")
     pipe = StemVideoPipeline(i_model, stem, transport_mode="sparse")
 
     rng = np.random.default_rng(1)
@@ -1050,8 +1081,7 @@ def run_trained_weights() -> dict:
     jax.block_until_ready(x_hat)
     dt = time.perf_counter() - t0
     return {
-        "source": f"tools/bakeoff.py without_spm λ={lmb} "
-                  f"(N={bk.N}, M={bk.M}, EBC={bk.EBC})",
+        "source": src,
         "fps_tunnel": round((n_frames - 1) / dt, 3),
         "bpp": round(total_bytes * 8 / ((n_frames - 1) * H * W), 4),
         "psnr_p_frames": round(float(np.mean(psnrs)), 2),
@@ -1444,6 +1474,11 @@ def main():
                 lambda t=(th_, tw_): run_wavefront(left(), tile=t), 420)
     section("wavefront_pipelined", "res_pipelined_full_stack",
             lambda: run_wavefront_pipelined((1, 4)), 420)
+    # (1, 2): halves the AR rounds (and enc_scan) vs (1, 4) — the
+    # latency-lever tile if the bake-off shows its border-rate cost stays
+    # negligible (artifacts/bakeoff.json res_tiled_1x2)
+    section("wavefront_pipelined", "res_pipelined_full_stack_1x2",
+            lambda: run_wavefront_pipelined((1, 2)), 420)
     section("wavefront_pipelined", "res_pipelined_full_stack_2x4",
             lambda: run_wavefront_pipelined((2, 4)), 600)
     section("charm", "charm_1080p", run_charm, 360)

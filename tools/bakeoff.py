@@ -35,7 +35,7 @@ LAMBDAS = [0.0003, 0.001, 0.004, 0.016]  # sweep (without_spm serving model)
 LMB_BAKE = 0.004                          # bake-off rate point
 BD_LAMBDAS = [0.001, 0.004, 0.016]        # charm-vs-res BD-rate grid
 EVAL_HW = 256                             # GOP eval frames (latent 16×16)
-TILES = [(4, 16), (4, 4), (2, 4)]         # tiled-res eval configs (th, tw)
+TILES = [(4, 16), (4, 4), (2, 4), (1, 4), (1, 2)]  # tiled-res (th, tw)
 CHARM_GROUPS = [4, 8]
 # hero config (VERDICT r3 #5): production capacity, longer schedule — one
 # checkpoint that serves at <=0.25 bpp with >=30 dB through the REAL 1080p
