@@ -400,6 +400,21 @@ def cmd_eval(args):
 
     os.makedirs(args.out_dir, exist_ok=True)
     path = os.path.join(args.out_dir, "bakeoff.json")
+    # carry forward sections a partial run didn't recompute (e.g. the λ
+    # sweep from a previous full run), marked so readers can tell
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f).get("results", {})
+            have = {p["lmbda"] for p in out["sweep"]}
+            for p in prev.get("sweep", []):
+                if p["lmbda"] not in have:
+                    out["sweep"].append({**p, "carried": True})
+            out["sweep"].sort(key=lambda p: p["lmbda"])
+            for k, v in prev.get("bakeoff", {}).items():
+                out["bakeoff"].setdefault(k, {**v, "carried": True})
+        except Exception as e:  # pragma: no cover
+            print("carry-forward skipped:", e, flush=True)
     with open(path, "w") as f:
         json.dump({
             "config": {"N": N, "M": M, "EBC": EBC, "crop": CROP,
@@ -487,6 +502,8 @@ def main():
         p.add_argument("--lambdas", type=float, nargs="+", default=None,
                        help="override the λ sweep grid (smoke tests)")
         p.add_argument("--charm-groups", type=int, nargs="+", default=None)
+        p.add_argument("--bd-lambdas", type=float, nargs="+", default=None,
+                       help="override the charm-vs-res BD-rate grid")
         p.add_argument("--hero-lmbda", type=float, default=HERO["lmbda"])
         p.set_defaults(fn=fn)
     args = ap.parse_args()
@@ -496,6 +513,8 @@ def main():
         LAMBDAS = list(args.lambdas)
         LMB_BAKE = LAMBDAS[-1]
         BD_LAMBDAS = LAMBDAS  # keep smoke runs inside the override grid
+    if args.bd_lambdas:
+        BD_LAMBDAS = list(args.bd_lambdas)
     if args.charm_groups:
         CHARM_GROUPS = list(args.charm_groups)
 
