@@ -471,10 +471,13 @@ def cmd_hero(args):
     os.makedirs(trained, exist_ok=True)
     for src in (f"ckpt_i_{lmbda}.pkl", f"ckpt_p_res_{lmbda}.pkl",
                 f"ckpt_p_without_spm_{lmbda}.pkl"):
-        sp = os.path.join(workdir, src)
-        with open(sp, "rb") as fi, gzip.open(
-                os.path.join(trained, src + ".gz"), "wb") as fo:
-            shutil.copyfileobj(fi, fo)
+        sp = _maybe_gz(os.path.join(workdir, src))
+        dst = os.path.join(trained, src + ".gz")
+        if sp.endswith(".gz"):  # fresh runs save through _maybe_gz names
+            shutil.copyfile(sp, dst)
+        else:
+            with open(sp, "rb") as fi, gzip.open(dst, "wb") as fo:
+                shutil.copyfileobj(fi, fo)
     meta = {"config": {**HERO, "lmbda": lmbda, "crop": CROP,
                        "eval_hw": EVAL_HW, "i_steps": i_steps,
                        "p_steps": p_steps},
