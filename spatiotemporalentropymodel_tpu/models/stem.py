@@ -632,13 +632,15 @@ class SpatioTemporalPriorModel(CompressionModel):
         if not self.wavefront_tile:
             return hgt, wid, 1
         th, tw = self.wavefront_tile
-        # tw >= 3 keeps every wavefront round non-empty (round t covers
-        # coords with 3r + c == t, c < tw); the decode loop relies on that
-        # invariant to skip the n_valid == 0 guard.
-        if th < 1 or tw < 3:
+        # Non-empty-round invariant (the decode loop skips the n_valid == 0
+        # guard): round t covers coords with 3r + c == t, c < tw. For th > 1
+        # that needs tw >= 3 (else e.g. (2,2) leaves t=2 empty); single-row
+        # tiles have t = c, so every tw >= 1 works — (1,2) is the 2-round
+        # latency-lever config.
+        if th < 1 or tw < 1 or (th > 1 and tw < 3):
             raise ValueError(
-                f"wavefront_tile must have th >= 1 and tw >= 3, got "
-                f"({th}, {tw})"
+                f"wavefront_tile needs th >= 1 and (tw >= 3 or th == 1), "
+                f"got ({th}, {tw})"
             )
         if hgt % th or wid % tw:
             raise ValueError(

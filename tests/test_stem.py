@@ -233,6 +233,56 @@ class TestCodec:
             wf.wire_format("grouped", stub)
         assert wf.wire_format("auto", stub) == "lane"
 
+    @pytest.mark.slow
+    def test_wavefront_single_row_tile_roundtrip(self):
+        """(1, 2) is the 2-round latency-lever tile: with th == 1 every
+        round t = c is non-empty, so tw < 3 is legal (stem.py::_tile_dims).
+        The bitstream must round-trip through the real coder."""
+        m = SpatioTemporalPriorModel(
+            variant="res", entropy_bottleneck_channels=EBC, in_channels=M,
+            ar_mode="wavefront", wavefront_tile=(1, 2),
+        )
+        y_cur, y_cond = _latents(hw=8)
+        m.init(y_cur, y_cond)
+        m.update()
+
+        enc = m.compress(y_cur, y_cond)
+        dec = m.decompress(enc["strings"], enc["shape"], y_cond)
+
+        from spatiotemporalentropymodel_tpu.entropy import base as eb
+        from spatiotemporalentropymodel_tpu.models import ar_wavefront as wf
+
+        zt = m.tables["entropy_bottleneck"]
+        z_idx = eb.bottleneck_indexes((1, *enc["shape"], zt.rows), zt.rows)
+        z_sym = eb.decompress(enc["strings"][1], z_idx, zt, m.coder)
+        z_hat = jnp.asarray(z_sym, jnp.float32) + jnp.asarray(
+            zt.medians, jnp.float32
+        )
+        priors = m._prior_feats_fn()(z_hat, y_cond)
+        coords, valid, encoder, *_ = m._wavefront_setup(1, 2)
+        target = jnp.asarray(y_cur) - jnp.asarray(y_cond)
+        _, _, tpad = encoder(
+            wf.tile_plane(target, 1, 2), wf.tile_plane(priors, 1, 2),
+            coords, valid,
+        )
+        expected = wf.untile_plane(tpad, 1, 8, 8) + jnp.asarray(y_cond)
+        np.testing.assert_allclose(
+            np.asarray(dec["y_hat"]), np.asarray(expected), atol=1e-5
+        )
+
+    def test_wavefront_multirow_narrow_tile_rejected(self):
+        """th > 1 with tw < 3 leaves empty rounds (e.g. (2,2) skips t=2) —
+        must be rejected up front."""
+        m = SpatioTemporalPriorModel(
+            variant="res", entropy_bottleneck_channels=EBC, in_channels=M,
+            wavefront_tile=(2, 2),
+        )
+        y_cur, y_cond = _latents(hw=8)
+        m.init(y_cur, y_cond)
+        m.update()
+        with pytest.raises(ValueError, match="tw >= 3 or th == 1"):
+            m.compress(y_cur, y_cond)
+
     def test_wavefront_tile_must_divide(self):
         m = SpatioTemporalPriorModel(
             variant="res", entropy_bottleneck_channels=EBC, in_channels=M,

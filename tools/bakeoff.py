@@ -340,8 +340,12 @@ def cmd_eval(args):
         print("bakeoff res:", out["bakeoff"]["res"], flush=True)
         for tile in TILES:
             key = f"res_tiled_{tile[0]}x{tile[1]}"
-            out["bakeoff"][key] = _eval_cfg(i_bake, stem_res(tile), data_gop)
-            print(f"bakeoff {key}:", out["bakeoff"][key], flush=True)
+            try:
+                out["bakeoff"][key] = _eval_cfg(i_bake, stem_res(tile),
+                                                data_gop)
+                print(f"bakeoff {key}:", out["bakeoff"][key], flush=True)
+            except Exception as e:  # one bad tile must not kill the sweep
+                print(f"bakeoff {key} FAILED: {e!r}", flush=True)
     for g in CHARM_GROUPS:
         name = f"charm{g}_{LMB_BAKE}"
         if not os.path.exists(_p_ckpt(workdir, name)):
