@@ -1057,7 +1057,10 @@ def run_trained_weights() -> dict:
     layout = pipe._sparse_layout(shape4)
     planes = tp.unpack_encode(np.asarray(packed), layout)
     n = layout.n
-    nz = int((planes.y_sorted != 0).sum())
+    # under overflow the sparse planes are zeroed (transport.py:94-100) and
+    # the pipeline re-encodes dense — the sparse stats would read 0/∞;
+    # report them as None instead of fabricating a perfect-sparsity story
+    nz = None if planes.overflow else int((planes.y_sorted != 0).sum())
     counts = np.asarray(planes.counts)[0]
     rows_used = int((counts > 0).sum())
     # row-count distribution: share of symbols in the most-used rows
@@ -1085,10 +1088,11 @@ def run_trained_weights() -> dict:
         "fps_tunnel": round((n_frames - 1) / dt, 3),
         "bpp": round(total_bytes * 8 / ((n_frames - 1) * H * W), 4),
         "psnr_p_frames": round(float(np.mean(psnrs)), 2),
-        "nonzero_frac": round(nz / n, 4),
+        "nonzero_frac": None if nz is None else round(nz / n, 4),
         "rows_used": rows_used,
         "rows_for_90pct_symbols": int(np.searchsorted(share, 0.9) + 1),
-        "capacity_headroom": round(layout.cap / max(nz, 1), 2),
+        "capacity_headroom": (None if nz is None
+                              else round(layout.cap / max(nz, 1), 2)),
         "overflow": bool(planes.overflow),
     }
 

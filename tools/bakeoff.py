@@ -451,6 +451,28 @@ def cmd_hero(args):
 
     i_model = _train_i(lmbda, data_img, workdir, i_steps)
     print(f"hero I-model λ={lmbda} ready", flush=True)
+    # Standalone I-model eval — the P-frame PSNR CEILING (P training is
+    # rate-only; reconstruction quality rides the frozen I transforms, so a
+    # weak number here means a longer i_steps schedule, not more p_steps).
+    import jax.numpy as jnp
+
+    from spatiotemporalentropymodel_tpu.eval.metrics import (
+        actual_bpp,
+        psnr as _psnr,
+    )
+
+    rng_i = np.random.default_rng(7)
+    vals = []
+    for _ in range(3):
+        fr = _structured_frames(rng_i, n_frames=1, hw=(EVAL_HW, EVAL_HW))[0]
+        x = jnp.asarray(fr, jnp.float32)[None] / 255.0
+        enc = i_model.compress(x)
+        dec = i_model.decompress(enc["strings"], tuple(enc["shape"]))
+        vals.append((actual_bpp(enc["strings"], EVAL_HW * EVAL_HW),
+                     float(_psnr(x, dec["x_hat"]))))
+    i_eval = {"bpp": round(float(np.mean([v[0] for v in vals])), 4),
+              "psnr": round(float(np.mean([v[1] for v in vals])), 3)}
+    print(f"hero I-model standalone eval: {i_eval}", flush=True)
     # res = the RD point (flagship family); without_spm = the parallel
     # serving pipeline's model (StemVideoPipeline drives non-SPM variants)
     _train_p(f"res_{lmbda}", "res", lmbda, i_model, data_vimeo, workdir,
@@ -485,6 +507,7 @@ def cmd_hero(args):
     meta = {"config": {**HERO, "lmbda": lmbda, "crop": CROP,
                        "eval_hw": EVAL_HW, "i_steps": i_steps,
                        "p_steps": p_steps},
+            "i_model_standalone": i_eval,
             "eval": evals}
     with open(os.path.join(trained, "hero.json"), "w") as f:
         json.dump(meta, f, indent=2)
