@@ -654,8 +654,15 @@ def run_wavefront_pipelined(tile=(1, 4), frames: int = 3) -> dict:
         transforms batch across streams while rounds stay per-stream) +
         encode scan + priors + rounds device math
       - host busy/frame: wavefront rANS enc+dec + z enc+dec
-    full-stack fps = 1e3 / max(serial, device_busy + PCIe transfer, host)."""
+    full-stack fps = 1e3 / max(serial, device_busy + PCIe transfer, host).
+
+    The stem serves at bf16 (set_compute_dtype) like the transforms it is
+    priced next to: the AR rounds' masked-conv+EPM math runs on the MXU at
+    its native dtype while quantize/CDF-index stay f32 islands, so the
+    bitstream round-trips exactly (tests/test_bf16_serving.py::
+    test_stem_bf16_roundtrip[res] pins this on the wavefront path)."""
     stem = realistic_stem(variant="res", wavefront_tile=tile)
+    stem.set_compute_dtype(jnp.bfloat16)
     imodel = MeanScaleHyperprior(192, M)
     imodel.init(jnp.zeros((1, 64, 64, 3)))
     y_shape = (1, H // 16, W // 16, M)
@@ -756,6 +763,7 @@ def run_wavefront_pipelined(tile=(1, 4), frames: int = 3) -> dict:
         "overlap": "g_s of frame k dispatched async against frame k+1's "
                    "rounds; ŷ recurrence device-resident",
         "component_ms": {
+            "ar_dtype": "bf16",
             "device_round": round(dev_round, 3),
             "enc_scan": round(enc_scan, 2),
             "priors": round(prior_ms, 2),

@@ -445,7 +445,12 @@ def cmd_hero(args):
 
     workdir = os.path.abspath(args.workdir)
     os.makedirs(workdir, exist_ok=True)
-    data_img, data_vimeo, data_gop = make_data(os.path.join(workdir, "data"))
+    # Hero capacity (N=128/M=192) memorizes the default 32-seq/64-image
+    # tree: the λ=0.02 run measured 0.154 bpp TRAIN vs 3.27 bpp on unseen
+    # frames (y-stream, not tables — artifacts/hero probe). Production-
+    # capacity runs need a production-sized synthetic corpus.
+    data_img, data_vimeo, data_gop = make_data(
+        os.path.join(workdir, "data"), n_train_seqs=args.train_seqs)
 
     from spatiotemporalentropymodel_tpu.models import SpatioTemporalPriorModel
 
@@ -506,7 +511,7 @@ def cmd_hero(args):
                 shutil.copyfileobj(fi, fo)
     meta = {"config": {**HERO, "lmbda": lmbda, "crop": CROP,
                        "eval_hw": EVAL_HW, "i_steps": i_steps,
-                       "p_steps": p_steps},
+                       "p_steps": p_steps, "train_seqs": args.train_seqs},
             "i_model_standalone": i_eval,
             "eval": evals}
     with open(os.path.join(trained, "hero.json"), "w") as f:
@@ -535,6 +540,9 @@ def main():
         p.add_argument("--bd-lambdas", type=float, nargs="+", default=None,
                        help="override the charm-vs-res BD-rate grid")
         p.add_argument("--hero-lmbda", type=float, default=HERO["lmbda"])
+        p.add_argument("--train-seqs", type=int, default=32,
+                       help="synthetic training sequences (hero runs want "
+                            "hundreds: 32 seqs overfit at N=128 capacity)")
         p.set_defaults(fn=fn)
     args = ap.parse_args()
 
