@@ -506,19 +506,25 @@ def run_wavefront(budget_left, tile=None) -> dict:
     }
 
 
-def measure_wavefront_rounds(stem, tile) -> float:
+def measure_wavefront_rounds(stem, tile, streams: int = 1) -> float:
     """True device cost of ONE wavefront decode round, measured by running
     the full fused write+params recursion as a single lax.scan dispatch
     (the per-round tunnel RPC amortizes away). Symbols are zeros — the
     round's compute (masked-conv AR step over all tiles + scatter/gather)
-    is data-independent."""
+    is data-independent.
+
+    ``streams>1`` batches independent serving streams along the tile axis
+    (the AR dependency is intra-frame only; cross-stream rounds are
+    embarrassingly parallel, exactly like the transforms that already batch
+    across streams in the full-stack projection). Returns the LATENCY of
+    one batched round — callers divide by ``streams`` for per-frame cost."""
     from spatiotemporalentropymodel_tpu.models import ar_wavefront as wf
 
     hgt, wid, m = H // 16, W // 16, M
     th, tw, nt = stem._tile_dims(hgt, wid)
     zt = stem.tables["entropy_bottleneck"]
-    z_hat = jnp.zeros((1, hgt // 4, wid // 4, zt.rows), jnp.float32)
-    y_cond = jnp.zeros((1, hgt, wid, m), jnp.float32)
+    z_hat = jnp.zeros((streams, hgt // 4, wid // 4, zt.rows), jnp.float32)
+    y_cond = jnp.zeros((streams, hgt, wid, m), jnp.float32)
     priors = stem._prior_feats_fn()(z_hat, y_cond)
     if nt > 1:
         priors = wf.tile_plane(priors, th, tw)
@@ -526,8 +532,8 @@ def measure_wavefront_rounds(stem, tile) -> float:
         th, tw
     )
     T, L = coords.shape[0], coords.shape[1]
-    target_pad = jnp.zeros((nt, th + 4, tw + 4, m), jnp.float32)
-    sym = jnp.zeros((T - 1, nt, L, m), jnp.float32)
+    target_pad = jnp.zeros((streams * nt, th + 4, tw + 4, m), jnp.float32)
+    sym = jnp.zeros((T - 1, streams * nt, L, m), jnp.float32)
 
     def all_rounds(tp, priors, sym):
         means, idx = params_step(tp, priors, coords[0])
@@ -556,20 +562,21 @@ def measure_wavefront_rounds(stem, tile) -> float:
     return 1e3 * dt / (reps * (T - 1))
 
 
-def measure_wavefront_encode(stem, tile) -> float:
+def measure_wavefront_encode(stem, tile, streams: int = 1) -> float:
     """True device cost of the full wavefront ENCODER scan, one jitted
     dispatch (mirrors measure_wavefront_rounds for the decode side): the
     tunnel hides it behind RPC + the sym/idx plane fetch, which a PCIe host
-    pays at 16 GB/s instead."""
+    pays at 16 GB/s instead. ``streams>1`` batches independent serving
+    streams (returns the batched latency; divide for per-frame cost)."""
     from spatiotemporalentropymodel_tpu.models import ar_wavefront as wf
 
     hgt, wid, m = H // 16, W // 16, M
     th, tw, nt = stem._tile_dims(hgt, wid)
     zt = stem.tables["entropy_bottleneck"]
-    z_hat = jnp.zeros((1, hgt // 4, wid // 4, zt.rows), jnp.float32)
-    y_cond = jnp.zeros((1, hgt, wid, m), jnp.float32)
+    z_hat = jnp.zeros((streams, hgt // 4, wid // 4, zt.rows), jnp.float32)
+    y_cond = jnp.zeros((streams, hgt, wid, m), jnp.float32)
     priors = stem._prior_feats_fn()(z_hat, y_cond)
-    target = jnp.zeros((1, hgt, wid, m), jnp.float32)
+    target = jnp.zeros((streams, hgt, wid, m), jnp.float32)
     if nt > 1:
         priors = wf.tile_plane(priors, th, tw)
         target = wf.tile_plane(target, th, tw)
@@ -706,18 +713,26 @@ def run_wavefront_pipelined(tile=(1, 4), frames: int = 3) -> dict:
             f"pipelined decode insane: mean|ŷ−y| = {dec_err:.3f}"
         )
 
-    # scan-folded device components
+    # scan-folded device components, batched across S independent serving
+    # streams (the AR dependency is intra-frame; cross-stream rounds are
+    # embarrassingly parallel, like the transforms below). Batched latency
+    # is what one stream waits per round; /S is the per-frame device cost.
     th, tw = tile
     n_rounds = 3 * (th - 1) + tw
-    dev_round = measure_wavefront_rounds(stem, tile)
-    enc_scan = measure_wavefront_encode(stem, tile)
+    S = 4
+    dev_round_lat = measure_wavefront_rounds(stem, tile, streams=S)
+    enc_scan_lat = measure_wavefront_encode(stem, tile, streams=S)
+    dev_round = dev_round_lat / S
+    enc_scan = enc_scan_lat / S
     zt = stem.tables["entropy_bottleneck"]
-    z0 = jnp.zeros((1, H // 64, W // 64, zt.rows), jnp.float32)
-    prior_ms = _scan_ms(
-        lambda z: stem._apply(z, y_cond0, method="prior_feats"), z0
+    zS = jnp.zeros((S, H // 64, W // 64, zt.rows), jnp.float32)
+    y_condS = jnp.zeros((S,) + y_shape[1:], jnp.float32)
+    prior_lat = _scan_ms(
+        lambda z: stem._apply(z, y_condS, method="prior_feats"), zS
     )
+    prior_ms = prior_lat / S
     # bf16 transforms at serving batch 4 (multi-stream: transforms batch
-    # across streams, rounds stay per-stream); per-frame = /4
+    # across streams); per-frame = /4
     b4 = 4
     im16 = MeanScaleHyperprior(192, M)
     im16.init(jnp.zeros((1, 64, 64, 3)))
@@ -735,7 +750,6 @@ def run_wavefront_pipelined(tile=(1, 4), frames: int = 3) -> dict:
     z_coder = _measure_z_coder(stem)
 
     # full-stack PCIe projection from the measured components
-    handoff_ms = 0.6  # dispatch + u8 idx fetch + symbol upload per round
     if _WF_HOST is not None:
         host_dec = (_WF_HOST["dec_ms"]
                     + max(n_rounds - 4, 0)
@@ -745,8 +759,17 @@ def run_wavefront_pipelined(tile=(1, 4), frames: int = 3) -> dict:
         host_dec = 1e3 * stats.get("host_rans_s", 0.0) / frames
         host_enc = 1e3 * stats.get("enc_host_s", 0.0) / frames
     z_ms = z_coder["enc_ms"] + z_coder["dec_ms"]
-    serial_ms = (z_coder["dec_ms"] + prior_ms
-                 + n_rounds * (dev_round + handoff_ms) + host_dec)
+    # per-round handoff at PCIe: dispatch + u8 idx fetch + i16 symbol upload
+    # for all S streams (3 bytes/symbol, S x the single-stream plane)
+    hgt, wid = H // 16, W // 16
+    round_bytes = S * (hgt * wid * M // n_rounds) * 3
+    handoff_ms = 0.6 + round_bytes / (PCIE_GBPS * 1e9) * 1e3
+    # serial chain of the lockstep S-stream decode recurrence (a standalone
+    # decoder's ŷ carry): per-stream host work serializes S x on one core,
+    # device rounds run batched; aggregate per-frame slot = latency / S
+    serial_lat = (S * (z_coder["dec_ms"] + host_dec) + prior_lat
+                  + n_rounds * (dev_round_lat + handoff_ms))
+    serial_ms = serial_lat / S
     fetch_bytes = stats.get("enc_fetch_bytes", 0) / frames
     xfer_ms = fetch_bytes / (PCIE_GBPS * 1e9) * 1e3
     device_busy = (ga_ms + gs_ms + enc_scan + prior_ms
@@ -764,23 +787,34 @@ def run_wavefront_pipelined(tile=(1, 4), frames: int = 3) -> dict:
                    "rounds; ŷ recurrence device-resident",
         "component_ms": {
             "ar_dtype": "bf16",
+            "streams": S,
+            "device_round_batched_latency": round(dev_round_lat, 3),
             "device_round": round(dev_round, 3),
+            "enc_scan_batched_latency": round(enc_scan_lat, 2),
             "enc_scan": round(enc_scan, 2),
+            "priors_batched_latency": round(prior_lat, 2),
             "priors": round(prior_ms, 2),
             "g_a_bf16_b4_per_frame": round(ga_ms, 2),
             "g_s_bf16_b4_per_frame": round(gs_ms, 2),
             "host_rans_enc": round(host_enc, 2),
             "host_rans_dec": round(host_dec, 2),
+            "round_handoff": round(handoff_ms, 2),
             "z_coder": z_coder,
         },
         "pcie_projection_full_stack": {
             "assumptions": "FULL-STACK (g_a + HE/priors + encode scan + "
                            "rounds + host rANS + g_s), all components "
-                           "measured this run; transforms at bf16 batch-4 "
-                           "multi-stream serving (per-frame cost), rounds "
-                           "per-stream with 0.6 ms/round handoff at PCIe; "
-                           "host coder standalone; throughput = slowest of "
-                           "the serial ŷ recurrence, device busy, host busy",
+                           f"measured this run at {S}-stream serving: "
+                           "transforms, AR rounds, encode scan and priors "
+                           "all batch across independent streams (per-frame "
+                           "cost = batched latency / streams; cross-stream "
+                           "rounds carry no AR dependency); per-round "
+                           "handoff = 0.6 ms dispatch + S-stream idx/symbol "
+                           "planes at PCIe; host coder standalone, 1 core, "
+                           "serialized across streams; throughput = slowest "
+                           "of the lockstep serial ŷ recurrence (latency/S), "
+                           "device busy, host busy",
+            "serial_latency_ms": round(serial_lat, 2),
             "serial_ms": round(serial_ms, 2),
             "device_busy_ms": round(device_busy + xfer_ms, 2),
             "host_busy_ms": round(host_busy, 2),

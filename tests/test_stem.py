@@ -169,6 +169,57 @@ class TestCodec:
             np.asarray(dec["y_hat"]), np.asarray(expected), atol=1e-5
         )
 
+    def test_wavefront_cross_stream_batching_exact(self):
+        """bench.py's full-stack serving projection batches INDEPENDENT
+        streams along the wavefront tile axis (rounds carry no cross-stream
+        dependency, exactly like batching the transforms). Stacking two
+        streams must reproduce each stream's solo encode bit-exactly —
+        symbols and CDF indexes are integer planes, so equality is exact."""
+        from spatiotemporalentropymodel_tpu.models import ar_wavefront as wf
+
+        m = SpatioTemporalPriorModel(
+            variant="res", entropy_bottleneck_channels=EBC, in_channels=M,
+            ar_mode="wavefront", wavefront_tile=(4, 4),
+        )
+        y_cur, y_cond = _latents(hw=8)
+        m.init(y_cur, y_cond)
+        m.update()
+
+        coords, valid, encoder, *_ = m._wavefront_setup(4, 4)
+        pr_ch = m._prior_feats_fn()(
+            jnp.zeros((1, 2, 2, EBC)), y_cond
+        ).shape[-1]
+        k = jax.random.split(jax.random.PRNGKey(7), 4)
+        tgts = [jax.random.normal(k[i], (1, 8, 8, M)) for i in range(2)]
+        prs = [jax.random.normal(k[2 + i], (1, 8, 8, pr_ch))
+               for i in range(2)]
+
+        solo = [
+            encoder(wf.tile_plane(t, 4, 4), wf.tile_plane(p, 4, 4),
+                    coords, valid)
+            for t, p in zip(tgts, prs)
+        ]
+        batched = encoder(
+            wf.tile_plane(jnp.concatenate(tgts), 4, 4),
+            wf.tile_plane(jnp.concatenate(prs), 4, 4),
+            coords, valid,
+        )
+        nt = solo[0][0].shape[0]
+        for s in range(2):
+            sym_s, idx_s, tpad_s = solo[s]
+            np.testing.assert_array_equal(
+                np.asarray(batched[0][s * nt:(s + 1) * nt]),
+                np.asarray(sym_s),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(batched[1][s * nt:(s + 1) * nt]),
+                np.asarray(idx_s),
+            )
+            np.testing.assert_allclose(
+                np.asarray(batched[2][s * nt:(s + 1) * nt]),
+                np.asarray(tpad_s), atol=1e-6,
+            )
+
     @pytest.mark.slow
     def test_wavefront_format_v2_equivalence(self):
         """The grouped (v2) wavefront wire format must decode to the exact
