@@ -1052,6 +1052,8 @@ def run_trained_weights() -> dict:
         src = (f"tools/bakeoff.py hero λ={lmb} (N={cfg['N']}, "
                f"M={cfg['M']}, EBC={cfg['EBC']}); "
                f"GOP-eval {hero_meta.get('eval')}")
+        if hero_meta.get("rd_points"):
+            src += f"; RD curve {hero_meta['rd_points']}"
     else:
         workdir = os.path.join(here, "artifacts", "bakeoff")
         cands = sorted(
