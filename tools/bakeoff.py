@@ -500,25 +500,58 @@ def cmd_hero(args):
     os.makedirs(args.out_dir, exist_ok=True)
     trained = os.path.join(args.out_dir, "trained", "hero")
     os.makedirs(trained, exist_ok=True)
-    for src in (f"ckpt_i_{lmbda}.pkl", f"ckpt_p_res_{lmbda}.pkl",
-                f"ckpt_p_without_spm_{lmbda}.pkl"):
-        sp = _maybe_gz(os.path.join(workdir, src))
-        dst = os.path.join(trained, src + ".gz")
-        if sp.endswith(".gz"):  # fresh runs save through _maybe_gz names
-            shutil.copyfile(sp, dst)
-        else:
-            with open(sp, "rb") as fi, gzip.open(dst, "wb") as fo:
-                shutil.copyfileobj(fi, fo)
     meta = {"config": {**HERO, "lmbda": lmbda, "crop": CROP,
                        "eval_hw": EVAL_HW, "i_steps": i_steps,
                        "p_steps": p_steps, "train_seqs": args.train_seqs},
             "i_model_standalone": i_eval,
             "eval": evals}
-    with open(os.path.join(trained, "hero.json"), "w") as f:
-        json.dump(meta, f, indent=2)
+    # Merge with any existing curated hero.json instead of clobbering it
+    # (the λ=0.012 run once erased the RD-curve block and replaced a
+    # 0.245 bpp/34.5 dB headline with a dominated 0.387/31.6 point).
+    # Policy: rd_points accumulates every measured λ (same-λ re-runs
+    # replace); the headline (config/i_model_standalone/eval) and the
+    # committed checkpoints only move when the new `res` point is NOT
+    # RD-dominated by the current headline.
+    prev, prev_path = None, os.path.join(trained, "hero.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
+    new_pt = {"lmbda": lmbda,
+              "bpp": round(evals["res"]["bpp"], 4),
+              "psnr": round(evals["res"]["psnr"], 2)}
+    rd = (prev or {}).get("rd_points") or {"res": []}
+    rd["res"] = [p for p in rd.get("res", []) if p["lmbda"] != lmbda]
+    dominated = False
+    if prev is not None and "res" in prev.get("eval", {}):
+        old = prev["eval"]["res"]
+        dominated = (new_pt["bpp"] >= old["bpp"] - 1e-9
+                     and new_pt["psnr"] <= old["psnr"] + 1e-9)
+    if dominated:
+        new_pt["dominated"] = True
+    rd["res"].append(new_pt)
+    rd["res"].sort(key=lambda p: p["lmbda"])
+    keep_headline = dominated and prev is not None
+    out = dict(prev) if keep_headline else meta
+    out["rd_points"] = rd
+    if keep_headline:
+        print(f"λ={lmbda} point {new_pt} is dominated by the current "
+              f"headline {prev['eval']['res']}; keeping old headline and "
+              "checkpoints, recording the point only", flush=True)
+    else:
+        for src in (f"ckpt_i_{lmbda}.pkl", f"ckpt_p_res_{lmbda}.pkl",
+                    f"ckpt_p_without_spm_{lmbda}.pkl"):
+            sp = _maybe_gz(os.path.join(workdir, src))
+            dst = os.path.join(trained, src + ".gz")
+            if sp.endswith(".gz"):  # fresh runs save via _maybe_gz names
+                shutil.copyfile(sp, dst)
+            else:
+                with open(sp, "rb") as fi, gzip.open(dst, "wb") as fo:
+                    shutil.copyfileobj(fi, fo)
+    with open(prev_path, "w") as f:
+        json.dump(out, f, indent=2)
     path = os.path.join(args.out_dir, "hero.json")
     with open(path, "w") as f:
-        json.dump(meta, f, indent=2)
+        json.dump(out, f, indent=2)
     print("wrote", path, "and", trained, flush=True)
 
 
