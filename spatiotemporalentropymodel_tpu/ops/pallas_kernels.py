@@ -45,6 +45,39 @@ def pallas_enabled() -> bool:
     return _PALLAS_OK and _on_tpu()
 
 
+# The (I)GDN normalization dot inside the fused kernels runs on the MXU; in
+# f32 it issues at a fraction of the bf16 rate and is ~35% of a stripe's
+# FLOPs (stage1 @544x960: 8 fill rows × (Ws,2C)×(2C,2C) ≈ 1.13 GF vs
+# 2.12 GF of conv dots).  With this knob the squares and the γ operand are
+# bf16 and the MXU still accumulates into f32 (preferred_element_type) —
+# the serving path is bf16 end-to-end already, and the extra rounding is one
+# 2⁻⁹ relative step on x² (≈0.1% on the normalizer after the sqrt).  f32
+# inputs (training, interpret-mode parity pins) keep the exact f32 math:
+# the γ operand is passed in f32 and the kernels branch on ITS dtype, so
+# the knob can never change a result the f32 tests pin.
+#
+# Measured NULL result (round 4, artifacts/gdn_dot_ab.json): stage1
+# 5.433 ms/frame bf16-dot vs 5.457 f32-dot, outputs identical to 5 dp —
+# the stage is input-DMA-bound (see _GDN_CONV_HALO), not norm-dot-bound.
+# Kept ON: never slower, and it frees MXU issue slots on dot-bound shapes.
+GDN_DOT_BF16 = True  # A/B knob (tools/gdn_dot_ab.py)
+
+
+def _gdn_dot_dtype(win_dtype):
+    """dtype for the γ operand of the in-kernel normalization dot."""
+    if GDN_DOT_BF16 and win_dtype == jnp.bfloat16:
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _norm_dot(v, g_ref, beta_ref):
+    """norm = x² @ γ + β at the γ operand's dtype (f32 result either way)."""
+    s = v.astype(g_ref.dtype)
+    s = s * s
+    return jnp.dot(s, g_ref[:],
+                   preferred_element_type=jnp.float32) + beta_ref[:]
+
+
 # ---------------------------------------------------------------------------
 # fused GDN
 # ---------------------------------------------------------------------------
@@ -249,10 +282,8 @@ def _igdn_deconv_ref(x, gamma_t, beta, kernel, bias, s: int):
 def _igdn_deconv_kernel(x_ref, xb_ref, gamma_ref, beta_ref, sub_ref,
                         bias_ref, out_ref, win_ref, *, th, w, c, f, s, rk):
     def igdn(v):
-        vf = v.astype(jnp.float32)
-        n = jnp.dot(vf * vf, gamma_ref[:],
-                    preferred_element_type=jnp.float32) + beta_ref[:]
-        return vf * jnp.sqrt(n)
+        n = _norm_dot(v, gamma_ref, beta_ref)
+        return v.astype(jnp.float32) * jnp.sqrt(n)
 
     wd = win_ref.dtype
     zero = jnp.zeros((1, c), wd)
@@ -411,8 +442,8 @@ def igdn_deconv_fused(x, gamma_t, beta, kernel, bias, stride: int = 2,
             pltpu.VMEM(((th + 2) * w + 2, c), win_dtype),
         ],
         interpret=interpret,
-    )(x2, xb2, gamma_t.astype(jnp.float32), beta[None, :].astype(jnp.float32),
-      sub2.astype(win_dtype), bias12)
+    )(x2, xb2, gamma_t.astype(_gdn_dot_dtype(win_dtype)),
+      beta[None, :].astype(jnp.float32), sub2.astype(win_dtype), bias12)
 
     from ..layers.conv import pixel_shuffle
 
@@ -474,6 +505,17 @@ igdn_deconv_fused.defvjp(_igdn_deconv_fwd, _igdn_deconv_bwd)
 
 FUSE_GDN_CONV = True  # A/B knob (tools/gdn_conv_tune.py)
 _GDN_CONV_TH = 0      # 0 = auto (VMEM model); probes force a stripe height
+# Input-path variant: True = three standard block-indexed operands (main
+# rows + 2-row halos above/below into one padded array) so Mosaic can
+# double-buffer the DMAs against the dots; False = the round-3 single
+# overlapping Element-indexed window. Motivated by the fill probe
+# (artifacts/gdn_fill_probe.json: ~2.7 of stage1's 5.4 ms/frame is
+# un-overlapped input traffic), but the TPU A/B is a NULL-to-slight-LOSS
+# (artifacts/gdn_halo_ab.json, round 4): stage1 5.596 ms/frame halo vs
+# 5.449 Element-window, stage2 1.524 vs 1.520, identical rel_err — the
+# Element window already pipelines; the residual cost is per-grid-step
+# overhead, not serialized DMA. Default = the measured winner.
+_GDN_CONV_HALO = False  # A/B knob (tools/gdn_halo_ab.py)
 # timing-isolation knob for tools/gdn_conv_tune.py --debug: "nofill" skips
 # the window fill, "onedot" runs a single tap block, "nogdn" copies raw
 # rows. Wrong results by construction — never set in production.
@@ -519,10 +561,9 @@ def _pair_conv_kernel(x_ref, g2_ref, beta2_ref, w_ref, bias_ref,
     def pre(v):
         if not has_gdn or debug == "nogdn":
             return v.astype(win_ref.dtype)
-        vf = v.astype(jnp.float32)
-        n = jnp.dot(vf * vf, g2_ref[:],
-                    preferred_element_type=jnp.float32) + beta2_ref[:]
-        return (vf * jax.lax.rsqrt(n)).astype(win_ref.dtype)
+        n = _norm_dot(v, g2_ref, beta2_ref)
+        return (v.astype(jnp.float32)
+                * jax.lax.rsqrt(n)).astype(win_ref.dtype)
 
     c4 = 2 * c2
     zero = jnp.zeros((1, c4), win_ref.dtype)
@@ -543,6 +584,12 @@ def _pair_conv_kernel(x_ref, g2_ref, beta2_ref, w_ref, bias_ref,
             win_ref[1 + (r // 2) * ws:1 + (r // 2 + 1) * ws,
                     (r % 2) * c2:(r % 2 + 1) * c2] = pre(v)
 
+    _pair_conv_dots(win_ref, w_ref, bias_ref, out_ref, th, ws, c2, o, debug)
+
+
+def _pair_conv_dots(win_ref, w_ref, bias_ref, out_ref, th, ws, c2, o, debug):
+    """The nine whole-stripe masked tap dots over the filled window —
+    shared by the Element-window and the halo-operand kernel variants."""
     jc = jax.lax.broadcasted_iota(jnp.int32, (th * ws, 1), 0) % ws
     m_lo = (jc != 0).astype(jnp.float32)
     m_hi = (jc != ws - 1).astype(jnp.float32)
@@ -562,6 +609,46 @@ def _pair_conv_kernel(x_ref, g2_ref, beta2_ref, w_ref, bias_ref,
             d = d * m_hi
         acc = acc + d
     out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _pair_conv_halo_kernel(xm_ref, xa_ref, xb_ref, g2_ref, beta2_ref, w_ref,
+                           bias_ref, out_ref, win_ref, *, th, ws, c2, o,
+                           has_gdn):
+    """Halo variant of _pair_conv_kernel: the stripe's own 2·TH image rows
+    arrive as a standard block (xm), the 2 rows above / below as two more
+    standard block-indexed operands into the SAME zero-padded array — so
+    Mosaic double-buffers every DMA against the dots. (The Element-indexed
+    window of the non-halo variant measures as SERIALIZED DMA: ~2.7 of
+    stage1's 5.4 ms/frame is un-overlapped input traffic —
+    artifacts/gdn_fill_probe.json.) Frame-edge halo rows are the pad's
+    real zeros, so the si==0 / si==stripes−1 masking disappears too
+    (GDN(0) = 0 and zero rows contribute nothing to the taps)."""
+
+    debug = _GDN_CONV_DEBUG
+
+    def pre(v):
+        if not has_gdn or debug == "nogdn":
+            return v.astype(win_ref.dtype)
+        n = _norm_dot(v, g2_ref, beta2_ref)
+        return (v.astype(jnp.float32)
+                * jax.lax.rsqrt(n)).astype(win_ref.dtype)
+
+    c4 = 2 * c2
+    zero = jnp.zeros((1, c4), win_ref.dtype)
+    win_ref[0:1] = zero
+    win_ref[1 + (th + 2) * ws:] = zero
+    if debug != "nofill":
+        for r in range(2 * th + 4):
+            if r < 2:
+                v = xa_ref[r * ws:(r + 1) * ws]
+            elif r >= 2 * th + 2:
+                v = xb_ref[(r - 2 * th - 2) * ws:(r - 2 * th - 1) * ws]
+            else:
+                v = xm_ref[(r - 2) * ws:(r - 1) * ws]
+            win_ref[1 + (r // 2) * ws:1 + (r // 2 + 1) * ws,
+                    (r % 2) * c2:(r % 2 + 1) * c2] = pre(v)
+
+    _pair_conv_dots(win_ref, w_ref, bias_ref, out_ref, th, ws, c2, o, debug)
 
 
 def _gdn_conv_th(x):
@@ -643,23 +730,64 @@ def gdn_conv_fused(x, gamma_t, beta, kernel, bias, interpret: bool = False):
     stripes = hs // th
     win_dtype = x.dtype if interpret else jnp.bfloat16
 
-    # frame-isolated halo rows: explicit zero-pad of 2 image rows at each
-    # frame edge (Mosaic's element_window rejects low padding, so the pad
-    # is a real XLA op — it fuses with the producer in-chain)
-    x3 = jnp.pad(x.reshape(b, h * ws, c2),
-                 ((0, 0), (2 * ws, 2 * ws), (0, 0)))
-
+    gdt = _gdn_dot_dtype(win_dtype)
     if has_gdn:
         g2 = jnp.kron(jnp.eye(2, dtype=jnp.float32),
-                      gamma_t.astype(jnp.float32))
+                      gamma_t.astype(jnp.float32)).astype(gdt)
         beta2 = jnp.concatenate([beta, beta]).astype(jnp.float32)[None, :]
     else:
-        g2 = jnp.zeros((c2, c2), jnp.float32)
+        g2 = jnp.zeros((c2, c2), gdt)
         beta2 = jnp.ones((1, c2), jnp.float32)
     wp = _pack_pair_kernel(kernel).astype(win_dtype)
     bias_row = (jnp.zeros((o,), jnp.float32) if bias is None
                 else bias.astype(jnp.float32))[None, :]
 
+    if _GDN_CONV_HALO:
+        # zero-pad 2·TH image rows at each frame edge so the main block
+        # (2·TH rows, offset si+1), the above halo (2 rows, offset
+        # th·(si+1)−1 in 2-row units) and the below halo (2 rows, offset
+        # th·(si+2)) all land on integer multiples of their block sizes —
+        # three STANDARD block-indexed operands into the SAME padded
+        # array, each double-buffered by Mosaic. The pad is real zeros so
+        # the kernel needs no frame-edge masking.
+        x3 = jnp.pad(x.reshape(b, h * ws, c2),
+                     ((0, 0), (2 * th * ws, 2 * th * ws), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(_pair_conv_halo_kernel, th=th, ws=ws, c2=c2,
+                              o=o, has_gdn=has_gdn),
+            out_shape=jax.ShapeDtypeStruct((b * hs * ws, o), x.dtype),
+            grid=(b * stripes,),
+            in_specs=[
+                pl.BlockSpec((None, 2 * th * ws, c2),
+                             lambda i: (i // stripes, i % stripes + 1, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (None, 2 * ws, c2),
+                    lambda i: (i // stripes, th * (i % stripes + 1) - 1, 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (None, 2 * ws, c2),
+                    lambda i: (i // stripes, th * (i % stripes + 2), 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((th * ws, o), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM(((th + 2) * ws + 2, 2 * c2), win_dtype),
+            ],
+            interpret=interpret,
+        )(x3, x3, x3, g2, beta2, wp, bias_row)
+        return out.reshape(b, hs, ws, o)
+
+    # frame-isolated halo rows: explicit zero-pad of 2 image rows at each
+    # frame edge (Mosaic's element_window rejects low padding, so the pad
+    # is a real XLA op — it fuses with the producer in-chain)
+    x3 = jnp.pad(x.reshape(b, h * ws, c2),
+                 ((0, 0), (2 * ws, 2 * ws), (0, 0)))
     win_rows = (2 * th + 4) * ws
     out = pl.pallas_call(
         functools.partial(_pair_conv_kernel, th=th, ws=ws, c2=c2, o=o,
@@ -760,10 +888,8 @@ def _igdn_deconv_wide_kernel(x_ref, g_ref, beta_ref, w_ref, bias_ref,
     accumulator."""
 
     def igdn(v):
-        vf = v.astype(jnp.float32)
-        n = jnp.dot(vf * vf, g_ref[:],
-                    preferred_element_type=jnp.float32) + beta_ref[:]
-        return (vf * jnp.sqrt(n)).astype(win_ref.dtype)
+        n = _norm_dot(v, g_ref, beta_ref)
+        return (v.astype(jnp.float32) * jnp.sqrt(n)).astype(win_ref.dtype)
 
     zero = jnp.zeros((1, c), win_ref.dtype)
     win_ref[0:1] = zero
@@ -858,7 +984,7 @@ def _igdn_deconv_wide_call(x, gamma_t, beta, wp, bias4, o4, interpret):
             pltpu.VMEM((win_rows + 2, c), win_dtype),
         ],
         interpret=interpret,
-    )(x3, gamma_t.astype(jnp.float32),
+    )(x3, gamma_t.astype(_gdn_dot_dtype(win_dtype)),
       beta[None, :].astype(jnp.float32),
       wp.astype(win_dtype), bias4)
 
@@ -1082,13 +1208,11 @@ def _tail_packed_kernel(x_ref, g2_ref, beta2_ref, w_ref, bias_ref,
     c4 = 4 * c
 
     def igdn(v):
-        vf = v.astype(jnp.float32)
         parts = []
         for a in range(2):
-            va = vf[:, a * c2:(a + 1) * c2]
-            n = jnp.dot(va * va, g2_ref[:],
-                        preferred_element_type=jnp.float32) + beta2_ref[:]
-            parts.append(va * jnp.sqrt(n))
+            va = v[:, a * c2:(a + 1) * c2]
+            n = _norm_dot(va, g2_ref, beta2_ref)
+            parts.append(va.astype(jnp.float32) * jnp.sqrt(n))
         return jnp.concatenate(parts, axis=-1).astype(win_ref.dtype)
 
     zero = jnp.zeros((1, c4), win_ref.dtype)
@@ -1181,6 +1305,7 @@ def igdn_deconv_tail_packed(xp, gamma_t, beta, kernel, bias,
     g2 = jnp.zeros((2 * c, 2 * c), jnp.float32)
     gt = gamma_t.astype(jnp.float32)
     g2 = g2.at[:c, :c].set(gt).at[c:, c:].set(gt)
+    g2 = g2.astype(_gdn_dot_dtype(win_dtype))
     beta2 = jnp.tile(beta.astype(jnp.float32), 2)[None, :]
     wp = _pack_tail_kernel(kernel, c)
     bias_f = (jnp.zeros((f,), jnp.float32) if bias is None

@@ -232,6 +232,21 @@ class TestFusedGDNConv:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-4)
 
+    @pytest.mark.parametrize("shape,o", [((1, 8, 16, 64), 48),
+                                         ((2, 12, 20, 32), 40)])
+    def test_halo_variant_matches_composition(self, shape, o, monkeypatch):
+        """The non-default `_GDN_CONV_HALO=True` input path (three standard
+        block-indexed operands) must stay exact — it is kept as a measured
+        A/B variant (artifacts/gdn_halo_ab.json)."""
+        monkeypatch.setattr(pk, "_GDN_CONV_HALO", True)
+        c = shape[-1]
+        x = jax.random.normal(jax.random.PRNGKey(7), shape) * 0.5
+        gamma_t, beta, kernel, bias = self._weights(c, o)
+        ref = pk._gdn_conv_ref(x, gamma_t, beta, kernel, bias)
+        got = pk.gdn_conv_fused(x, gamma_t, beta, kernel, bias, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
     def test_conv_only_mode(self):
         c, o = 32, 24
         x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 12, c)) * 0.5
