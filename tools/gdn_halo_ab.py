@@ -1,10 +1,13 @@
 """A/B the _GDN_CONV_HALO input-path knob on the g_a fused stages (TPU).
 
-Round-4 finding (artifacts/gdn_fill_probe.json): with the Element-indexed
-overlapping window, stage1's input DMA is SERIALIZED against the dots —
-~2.7 of 5.4 ms/frame is un-overlapped traffic (the nine tap dots alone run
-at ~146 TF/s). The halo variant feeds the same bytes as three standard
-block-indexed operands that Mosaic double-buffers.
+Motivation (artifacts/gdn_fill_probe.json): ~2.65 of stage1's 5.4 ms/frame
+is neither fill nor dots; the halo variant feeds the same bytes as three
+standard block-indexed operands that Mosaic provably double-buffers, to
+test whether the Element-indexed window's DMA was the serialized part.
+
+RESULT (artifacts/gdn_halo_ab.json): NULL-to-slight-LOSS — stage1 5.596
+halo vs 5.449 Element, stage2 1.524 vs 1.520. The Element window already
+pipelines; the baseline is per-grid-step cost (see tools/gdn_th_sweep.py).
 """
 
 import json
@@ -47,7 +50,7 @@ def main():
             rows[key] = {"per_frame_ms": round(r["ms"] / b, 3),
                          "rel_err": round(err, 5)}
             print(key, rows[key], flush=True)
-    pk._GDN_CONV_HALO = True
+    pk._GDN_CONV_HALO = False  # the shipped default (measured winner)
     with open("artifacts/gdn_halo_ab.json", "w") as f:
         json.dump(rows, f, indent=2)
     print("wrote artifacts/gdn_halo_ab.json", flush=True)
