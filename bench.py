@@ -21,7 +21,11 @@ projection for a PCIe-attached host (measured device ms + measured host-coder
 ms + measured bytes at PCIe bandwidth).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
-vs_baseline is against the BASELINE.json target of 30 fps/chip.
+vs_baseline is against the BASELINE.json target of 30 fps/chip. The stdout
+line is a COMPACT summary hard-capped below 2 KB (the driver captures only
+the last 2000 characters of output — round 4's 12.8 KB line truncated
+mid-string and parsed as null); the full per-section detail is written to
+BENCH_SELF.json and artifacts/bench_last_validated.json instead.
 """
 
 import json
@@ -641,6 +645,50 @@ def _measure_z_coder(stem) -> dict:
     return {"enc_ms": enc_ms, "dec_ms": dec_ms}
 
 
+def _build_wavefront_server(tile, streams: int):
+    """Shared setup for the pipelined wavefront serving benches: realistic
+    stem (bf16 serving dtype), I-model transforms, the library server
+    (eval/pipeline.py::WavefrontVideoPipeline) and the synthetic-rate y_cur
+    producer (runs g_a at the serving batch for its real cost; the coded
+    latent is y_cond + 0.2·noise so the rate point is controlled — the
+    trained-weights sections cover the real-latent rate)."""
+    from spatiotemporalentropymodel_tpu.eval.pipeline import (
+        WavefrontVideoPipeline,
+    )
+
+    stem = realistic_stem(variant="res", wavefront_tile=tile)
+    stem.set_compute_dtype(jnp.bfloat16)
+    imodel = MeanScaleHyperprior(192, M)
+    imodel.init(jnp.zeros((1, 64, 64, 3)))
+    pipe = WavefrontVideoPipeline(imodel, stem)
+    y_shape = (streams, H // 16, W // 16, M)
+    y_cond0 = 0.5 * jax.random.normal(jax.random.PRNGKey(5), y_shape)
+    x_pix = jax.random.uniform(jax.random.PRNGKey(11), (streams, H, W, 3),
+                               jnp.float32)
+
+    def _y_cur(x, y_cond, key):
+        y_ga = imodel._apply(x, method="analysis")[0]
+        return (y_cond + 0.2 * jax.random.normal(key, y_cond.shape)
+                + 1e-30 * jnp.mean(y_ga))
+
+    return pipe, stem, imodel, jax.jit(_y_cur), x_pix, y_cond0
+
+
+def _run_server_loop(pipe, y_cur_fn, x_pix, y_cond0, frames: int):
+    """Timed pipelined GOP loop through the library server. Returns
+    (wall_s, stream_bytes, final ŷ carry, last y_cur)."""
+    keys = jax.random.split(jax.random.PRNGKey(13), frames)
+    y_cond, x_futs, nb = y_cond0, [], 0
+    t0 = time.perf_counter()
+    for k in range(frames):
+        y_cur = y_cur_fn(x_pix, y_cond, keys[k])
+        enc, y_cond, x_fut = pipe.serve_latent(y_cur, y_cond, frame=k)
+        nb += sum(len(s) for g in enc["strings"] for s in g)
+        x_futs.append(x_fut)  # async g_s: overlaps frame k+1's rounds
+    jax.block_until_ready((x_futs[-1], y_cond))
+    return time.perf_counter() - t0, nb, y_cond, y_cur
+
+
 def run_wavefront_pipelined(tile=(1, 4), frames: int = 3) -> dict:
     """VERDICT r3 #2: the pipelined GOP server loop the wavefront projections
     assume, MEASURED end-to-end — per frame: g_a of the pixel frame (on the
@@ -667,47 +715,26 @@ def run_wavefront_pipelined(tile=(1, 4), frames: int = 3) -> dict:
     priced next to: the AR rounds' masked-conv+EPM math runs on the MXU at
     its native dtype while quantize/CDF-index stay f32 islands, so the
     bitstream round-trips exactly (tests/test_bf16_serving.py::
-    test_stem_bf16_roundtrip[res] pins this on the wavefront path)."""
-    stem = realistic_stem(variant="res", wavefront_tile=tile)
-    stem.set_compute_dtype(jnp.bfloat16)
-    imodel = MeanScaleHyperprior(192, M)
-    imodel.init(jnp.zeros((1, 64, 64, 3)))
-    y_shape = (1, H // 16, W // 16, M)
-    y_cond0 = 0.5 * jax.random.normal(jax.random.PRNGKey(5), y_shape)
-    x_pix = jax.random.uniform(jax.random.PRNGKey(11), (1, H, W, 3),
-                               jnp.float32)
+    test_stem_bf16_roundtrip[res] pins this on the wavefront path).
 
-    def _y_cur(x, y_cond, key):
-        y_ga = imodel._apply(x, method="analysis")[0]
-        return (y_cond + 0.2 * jax.random.normal(key, y_cond.shape)
-                + 1e-30 * jnp.mean(y_ga))
-
-    y_cur_fn = jax.jit(_y_cur)
-    gs_fn = jax.jit(lambda y: imodel._apply(y, method="get_x"))
+    The serving loop itself is the library's WavefrontVideoPipeline
+    (eval/pipeline.py, VERDICT r4 #4) — this function is setup + timing."""
+    pipe, stem, imodel, y_cur_fn, x_pix, y_cond0 = _build_wavefront_server(
+        tile, streams=1
+    )
 
     # warm every jit in the loop (wavefront scan compiles are minutes here)
     y_cur = y_cur_fn(x_pix, y_cond0, jax.random.PRNGKey(12))
-    enc = stem.compress(y_cur, y_cond0)
-    dec = stem.decompress(enc["strings"], tuple(enc["shape"]), y_cond0)
-    xh = gs_fn(dec["y_hat"])
+    _, _, xh = pipe.serve_latent(y_cur, y_cond0)
     jax.block_until_ready(xh)
 
     # measured pipelined GOP through the tunnel
     stem._codec_stats = stats = {}
-    keys = jax.random.split(jax.random.PRNGKey(13), frames)
-    y_cond, x_futs, nb = y_cond0, [], 0
-    t0 = time.perf_counter()
-    for k in range(frames):
-        y_cur = y_cur_fn(x_pix, y_cond, keys[k])
-        enc = stem.compress(y_cur, y_cond)
-        nb += sum(len(s) for g in enc["strings"] for s in g)
-        dec = stem.decompress(enc["strings"], tuple(enc["shape"]), y_cond)
-        y_cond = dec["y_hat"]
-        x_futs.append(gs_fn(y_cond))  # async: overlaps frame k+1's rounds
-    jax.block_until_ready((x_futs[-1], y_cond))
-    wall = time.perf_counter() - t0
+    wall, nb, y_cond, y_cur = _run_server_loop(
+        pipe, y_cur_fn, x_pix, y_cond0, frames
+    )
     stem._codec_stats = None
-    dec_err = float(jnp.mean(jnp.abs(dec["y_hat"] - y_cur)))
+    dec_err = float(jnp.mean(jnp.abs(y_cond - y_cur)))
     if dec_err > 1.0:
         raise RuntimeError(
             f"pipelined decode insane: mean|ŷ−y| = {dec_err:.3f}"
@@ -726,7 +753,7 @@ def run_wavefront_pipelined(tile=(1, 4), frames: int = 3) -> dict:
     enc_scan = enc_scan_lat / S
     zt = stem.tables["entropy_bottleneck"]
     zS = jnp.zeros((S, H // 64, W // 64, zt.rows), jnp.float32)
-    y_condS = jnp.zeros((S,) + y_shape[1:], jnp.float32)
+    y_condS = jnp.zeros((S, H // 16, W // 16, M), jnp.float32)
     prior_lat = _scan_ms(
         lambda z: stem._apply(z, y_condS, method="prior_feats"), zS
     )
@@ -820,6 +847,152 @@ def run_wavefront_pipelined(tile=(1, 4), frames: int = 3) -> dict:
             "host_busy_ms": round(host_busy, 2),
             "fps": round(1e3 / full_ms, 1),
         },
+    }
+
+
+def run_wavefront_pipelined_multistream(tile=(1, 4), streams: int = 4,
+                                        frames: int = 8) -> dict:
+    """VERDICT r4 #3: the S-stream GOP server EXECUTED end-to-end — not
+    component accounting. S independent GOP streams ride the batch axis
+    through the library server (transforms at b=S; wavefront rounds stack
+    the streams' tiles along the tile-batch axis bit-exactly,
+    tests/test_pipeline.py::test_wavefront_pipeline_multistream_bitstreams_
+    exact), `frames` frames per stream, through the tunnel, with host rANS
+    genuinely serialized across the S streams inside each round (the
+    lockstep schedule the round-4 projection assumed is now observed).
+
+    The PCIe projection is re-derived from THIS run's observed schedule:
+    observed rounds, observed S-stream host serialization (in-situ, with the
+    standalone-coder correction for the shared core), device components
+    scan-folded in the same run. It is quoted at the synthetic ~0.22 bpp
+    rate AND at the trained-weights ~0.5 bpp host-coder rate (the hero
+    λ=0.015 checkpoint serves at 0.512 bpp — detail.trained_weights)."""
+    pipe, stem, imodel, y_cur_fn, x_pix, y_cond0 = _build_wavefront_server(
+        tile, streams=streams
+    )
+
+    # warm every jit in the loop
+    y_cur = y_cur_fn(x_pix, y_cond0, jax.random.PRNGKey(12))
+    _, _, xh = pipe.serve_latent(y_cur, y_cond0)
+    jax.block_until_ready(xh)
+
+    stem._codec_stats = stats = {}
+    wall, nb, y_cond, y_cur = _run_server_loop(
+        pipe, y_cur_fn, x_pix, y_cond0, frames
+    )
+    stem._codec_stats = None
+    dec_err = float(jnp.mean(jnp.abs(y_cond - y_cur)))
+    if dec_err > 1.0:
+        raise RuntimeError(
+            f"4-stream pipelined decode insane: mean|ŷ−y| = {dec_err:.3f}"
+        )
+    total_frames = streams * frames
+    th, tw = tile
+    n_rounds = 3 * (th - 1) + tw
+
+    # observed per-frame schedule through the tunnel (every stage stamped
+    # inside the run; host timings share the core with the tunnel client)
+    observed = {
+        "enc_device_ms": round(
+            1e3 * stats.get("enc_device_s", 0.0) / total_frames, 2),
+        "enc_host_rans_ms": round(
+            1e3 * stats.get("enc_host_s", 0.0) / total_frames, 2),
+        "dec_device_rounds_ms": round(
+            1e3 * stats.get("device_s", 0.0) / total_frames, 2),
+        "dec_host_rans_ms": round(
+            1e3 * stats.get("host_rans_s", 0.0) / total_frames, 2),
+        "rounds_executed": stats.get("rounds", 0),
+        "accounted_ms": round(
+            1e3 * (stats.get("enc_device_s", 0.0)
+                   + stats.get("enc_host_s", 0.0)
+                   + stats.get("device_s", 0.0)
+                   + stats.get("host_rans_s", 0.0)) / total_frames, 2),
+        "wall_ms_per_frame": round(1e3 * wall / total_frames, 2),
+    }
+
+    # device components, scan-folded in this same run at the serving batch
+    dev_round_lat = measure_wavefront_rounds(stem, tile, streams=streams)
+    enc_scan_lat = measure_wavefront_encode(stem, tile, streams=streams)
+    zt = stem.tables["entropy_bottleneck"]
+    zS = jnp.zeros((streams, H // 64, W // 64, zt.rows), jnp.float32)
+    y_condS = jnp.zeros((streams, H // 16, W // 16, M), jnp.float32)
+    prior_lat = _scan_ms(
+        lambda z: stem._apply(z, y_condS, method="prior_feats"), zS
+    )
+    im16 = MeanScaleHyperprior(192, M)
+    im16.init(jnp.zeros((1, 64, 64, 3)))
+    im16.params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16), imodel.params
+    )
+    xS = x_pix.astype(jnp.bfloat16)
+    yS = y_cond0.astype(jnp.bfloat16)
+    ga_lat = _scan_ms(lambda v: im16._apply(v, method="analysis")[0], xS)
+    gs_lat = _scan_ms(lambda v: im16._apply(v, method="get_x"), yS)
+    z_coder = _measure_z_coder(stem)
+
+    # per-round handoff at PCIe: dispatch + S-stream idx/symbol planes
+    hgt, wid = H // 16, W // 16
+    round_bytes = streams * (hgt * wid * M // n_rounds) * 3
+    handoff_ms = 0.6 + round_bytes / (PCIE_GBPS * 1e9) * 1e3
+    z_ms = z_coder["enc_ms"] + z_coder["dec_ms"]
+
+    def project(wf_host):
+        """PCIe projection of THIS schedule at a given host-coder profile:
+        per GOP-step (S frames in lockstep), fps = S·1e3/max(paths)."""
+        host_dec = (wf_host["dec_ms"]
+                    + max(n_rounds - 4, 0)
+                    * wf_host["dec_round_call_us"] / 1e3)
+        host_enc = wf_host["enc_ms"]
+        serial_lat = (streams * (z_coder["dec_ms"] + host_dec) + prior_lat
+                      + n_rounds * (dev_round_lat + handoff_ms))
+        device_lat = (ga_lat + gs_lat + enc_scan_lat + prior_lat
+                      + n_rounds * dev_round_lat)
+        host_lat = streams * (host_enc + host_dec + z_ms)
+        fps = streams * 1e3 / max(serial_lat, device_lat, host_lat)
+        return {
+            "host_profile": wf_host.get("profile", "realistic"),
+            "host_workload_bpp": wf_host.get("workload_bpp"),
+            "serial_latency_ms": round(serial_lat, 2),
+            "device_busy_latency_ms": round(device_lat, 2),
+            "host_busy_latency_ms": round(host_lat, 2),
+            "fps": round(fps, 1),
+        }
+
+    wf_host = _WF_HOST or measure_wavefront_host_coder()
+    proj = project(wf_host)
+    proj_trained = project(measure_wavefront_host_coder(profile="trained"))
+    return {
+        "tile": list(tile),
+        "streams": streams,
+        "frames": frames,
+        "fps_tunnel_measured": round(total_frames / wall, 3),
+        "decode_mean_abs_err": round(dec_err, 4),
+        "bpp": round(nb * 8 / (total_frames * H * W), 4),
+        "decode_rounds": n_rounds,
+        "observed_schedule_ms_per_frame": observed,
+        "component_ms": {
+            "ar_dtype": "bf16",
+            "device_round_batched_latency": round(dev_round_lat, 3),
+            "enc_scan_batched_latency": round(enc_scan_lat, 2),
+            "priors_batched_latency": round(prior_lat, 2),
+            "g_a_batched_latency": round(ga_lat, 2),
+            "g_s_batched_latency": round(gs_lat, 2),
+            "round_handoff": round(handoff_ms, 2),
+            "z_coder": z_coder,
+        },
+        "pcie_projection": {
+            "assumptions": "re-derived from THIS run's observed S-stream "
+                           "schedule: observed round count and S-fold host "
+                           "serialization; device components scan-folded at "
+                           "the serving batch in the same run; host coder "
+                           "standalone (in-situ shares the core with the "
+                           "tunnel client and reads ~2x high); per-round "
+                           "handoff = 0.6 ms + S-stream planes at PCIe",
+            "synthetic_rate": proj,
+            "trained_rate": proj_trained,
+        },
+        "fps_pcie_projection": proj["fps"],
+        "fps_pcie_projection_trained_rate": proj_trained["fps"],
     }
 
 
@@ -1141,18 +1314,22 @@ def run_trained_weights() -> dict:
     }
 
 
-def _realistic_symbols(seed: int = 0):
+def _realistic_symbols(seed: int = 0, active_frac: float = 0.07,
+                       sig_lo: float = 0.2, sig_hi: float = 1.8):
     """Realistic per-frame (symbols, indexes, tables) mirroring
     realistic_stem's channel statistics: ~93% of channels at the σ floor,
-    the rest log-uniform in [0.2, 1.8]; symbols ~ round(N(0, σ))."""
+    the rest log-uniform in [sig_lo, sig_hi]; symbols ~ round(N(0, σ)).
+    Defaults match the synthetic ~0.12 bpp workload; the trained-rate
+    profile (measure_wavefront_host_coder(profile="trained")) widens σ to
+    land at the hero checkpoint's ~0.5 bpp serving rate."""
     from spatiotemporalentropymodel_tpu.entropy.gaussian import update_tables
 
     tables = update_tables()
     hw = (H // 16) * (W // 16)
     rng = np.random.default_rng(seed)
     sigma_c = np.full(M, 0.05)
-    active = rng.random(M) < 0.07
-    sigma_c[active] = np.exp(rng.uniform(np.log(0.2), np.log(1.8),
+    active = rng.random(M) < active_frac
+    sigma_c[active] = np.exp(rng.uniform(np.log(sig_lo), np.log(sig_hi),
                                          active.sum()))
     sigma = np.broadcast_to(sigma_c, (hw, M)).reshape(-1)
     table = np.asarray(tables.scale_table)
@@ -1219,17 +1396,28 @@ def measure_host_coder() -> dict:
 _WF_HOST = None
 
 
-def measure_wavefront_host_coder() -> dict:
+def measure_wavefront_host_coder(profile: str = "realistic") -> dict:
     """Standalone v1 (lane-order) wavefront host-coder cost per 1080p frame:
     one indexed encode over the frame, stream decode split across rounds.
     The decode split itself is timing-neutral; the per-call overhead is
     measured separately (321-round split) so projections can charge
-    dec_ms + rounds·call_us for any tile config."""
+    dec_ms + rounds·call_us for any tile config.
+
+    profile="trained" measures the same coder on a ~0.5 bpp symbol load
+    (wide-σ channels) matching the hero checkpoint's 1080p serving rate
+    (BENCH_SELF detail.trained_weights: 0.512 bpp), so multi-stream
+    projections can be quoted at the trained rate (VERDICT r4 #3)."""
     from spatiotemporalentropymodel_tpu.coders import get_coder
     from spatiotemporalentropymodel_tpu.entropy import base as eb
 
     coder = get_coder()
-    sym, idx, tables = _realistic_symbols(seed=1)
+    if profile == "trained":
+        # calibrated: this lands at 0.530 bpp measured (hero serves at 0.512)
+        sym, idx, tables = _realistic_symbols(
+            seed=1, active_frac=0.20, sig_lo=1.0, sig_hi=32.0
+        )
+    else:
+        sym, idx, tables = _realistic_symbols(seed=1)
     esym = eb.get_enc_table(tables, coder)
     lut = eb.get_lut(tables, coder)
     n = sym.size
@@ -1263,6 +1451,8 @@ def measure_wavefront_host_coder() -> dict:
         "enc_ms": round(enc_ms, 2),
         "dec_ms": round(dec4_ms, 2),
         "dec_round_call_us": round(call_us, 1),
+        "workload_bpp": round(len(s) * 8 / (H * W), 4),
+        "profile": profile,
     }
 
 
@@ -1364,6 +1554,86 @@ def _atomic_write(path: str, payload: str) -> None:
     os.replace(tmp, path)
 
 
+_STDOUT_CAP = 1900  # bytes; the driver keeps a 2000-char tail of stdout
+
+
+def _compact_payload(payload: dict) -> str:
+    """Collapse a full bench payload into the ONE stdout line (VERDICT r4 #1).
+
+    The full detail dict (12+ KB with every section) lives in
+    BENCH_SELF.json; stdout carries only the headline plus the handful of
+    numbers the official record needs, hard-capped under _STDOUT_CAP so the
+    driver's 2000-char tail capture always holds the complete line."""
+    d = payload.get("detail") or {}
+    c = {}
+    for k in ("headline_stale", "device_unreachable", "error"):
+        if k in d:
+            c[k] = str(d[k])[:180]
+    if "bpp" in d:
+        c["bpp"] = d["bpp"]
+    if isinstance(d.get("per_batch_fps"), dict):
+        c["per_batch_fps"] = d["per_batch_fps"]
+    dev = d.get("device_only")
+    if not (isinstance(dev, dict) and "ms_per_frame" in dev):
+        dev = d.get("device_only_b4_bf16")
+    if isinstance(dev, dict) and "ms_per_frame" in dev:
+        c["device_only"] = {k: dev[k] for k in
+                            ("fps", "ms_per_frame", "dtype") if k in dev}
+        if dev.get("stale"):
+            c["device_only"]["stale"] = True
+    ms4 = d.get("res_pipelined_4stream_measured")
+    if isinstance(ms4, dict):
+        c["full_stack_4stream"] = {
+            k: ms4[k] for k in
+            ("fps_tunnel_measured", "fps_pcie_projection",
+             "fps_pcie_projection_trained_rate", "streams", "frames")
+            if k in ms4}
+        if ms4.get("stale"):
+            c["full_stack_4stream"]["stale"] = True
+    fs = d.get("res_pipelined_full_stack")
+    if isinstance(fs, dict):
+        proj = fs.get("pcie_projection_full_stack") or {}
+        c["full_stack"] = {"tile": fs.get("tile"),
+                           "fps_tunnel": fs.get("fps_tunnel_measured"),
+                           "fps_pcie_projection": proj.get("fps")}
+        if fs.get("stale"):
+            c["full_stack"]["stale"] = True
+    tw = d.get("trained_weights")
+    if isinstance(tw, dict):
+        c["trained_weights"] = {k: tw[k] for k in
+                                ("bpp", "psnr_p_frames") if k in tw}
+        if tw.get("stale"):
+            c["trained_weights"]["stale"] = True
+    p720 = d.get("per_batch_720p")
+    if isinstance(p720, dict):
+        pts = {b: v.get("fps") for b, v in p720.items()
+               if isinstance(v, dict)}
+        if pts:
+            c["per_batch_720p_fps"] = pts
+            if p720.get("stale"):
+                c["per_batch_720p_fps"]["stale"] = True
+    carried = d.get("carried_sections")
+    if carried:
+        c["carried_sections_n"] = len(carried)
+    c["full_detail"] = "BENCH_SELF.json"
+    out = {
+        "metric": payload.get("metric"),
+        "value": payload.get("value"),
+        "unit": payload.get("unit"),
+        "vs_baseline": payload.get("vs_baseline"),
+        "detail": c,
+    }
+    s = json.dumps(out)
+    # hard guarantee, least-load-bearing keys dropped first
+    drop = ["per_batch_720p_fps", "carried_sections_n", "full_detail",
+            "per_batch_fps", "full_stack", "trained_weights",
+            "device_only", "full_stack_4stream", "bpp"]
+    while len(s) > _STDOUT_CAP and drop:
+        c.pop(drop.pop(0), None)
+        s = json.dumps(out)
+    return s
+
+
 def _print_final_once() -> None:
     global _FINAL_DONE
     with _EMIT_LOCK:
@@ -1379,7 +1649,7 @@ def _print_final_once() -> None:
                 "no section completed this run; numbers are the last "
                 "validated snapshot (see BENCH_NOTES)"
             )
-            snap = json.dumps(prev)
+            snap = _compact_payload(prev)
         else:
             snap = json.dumps({
                 "metric": "stem_1080p_p_frame_encode_decode", "value": 0.0,
@@ -1436,7 +1706,7 @@ def main():
                 "validated self-run (see PROGRESS/BENCH_NOTES)"
             )
             with _EMIT_LOCK:
-                _SNAPSHOT = json.dumps(prev)
+                _SNAPSHOT = _compact_payload(prev)
         _print_final_once()
         return
     # STEM_BENCH_ONLY=charm,wavefront_tiled,... reruns selected sections and
@@ -1493,45 +1763,38 @@ def main():
         extras["wavefront_host_coder_standalone"] = _WF_HOST
     except Exception as e:  # pragma: no cover
         extras["wavefront_host_coder_error"] = repr(e)[:200]
-    for b in (1, 2, 4):
-        if not on("pipeline"):
-            break
-        if results and left() < budget * (0.55 - 0.1 * len(results)):
-            break
+
+    def run_pipeline_point(b, **kw):
         try:
-            results[b] = run_pipeline(b)
+            results[b] = run_pipeline(b, **kw)
         except Exception as e:  # pragma: no cover
             extras[f"pipeline_b{b}_error"] = repr(e)[:200]
-            break
+            return False
         _emit(results, extras, to_stdout=False)
+        return True
 
-    section("device_only", "device_only_b4",
-            lambda: run_device_only(4), 420)
+    # ---- Flagship sections FIRST (VERDICT r4 #2): the official record
+    # needs these four measured fresh in every driver-budget run; extras,
+    # tile variants and probes come after. b=4 is the headline batch.
+    if on("pipeline"):
+        run_pipeline_point(4)
     section("device_only_bf16", "device_only_b4_bf16",
             lambda: run_device_only(4, dtype=jnp.bfloat16), 420)
-    # trained weights BEFORE the wavefront extras (VERDICT r3 #5): the
-    # official record needs the synthetic-workload validation more than a
-    # fourth tile configuration
-    section("trained_weights", "trained_weights", run_trained_weights, 240)
-    # deep tiles first — (1,4) and (2,4) are the production serving configs
-    for spec in os.environ.get("STEM_BENCH_DEEP_TILE", "1,4;2,4").split(";"):
-        th_, tw_ = (int(v) for v in spec.split(","))
-        key = ("res_wavefront_deep_tiled_1080p" if (th_, tw_) == (2, 4)
-               else f"res_wavefront_tile{th_}x{tw_}_1080p")
-        section("wavefront_deep", key,
-                lambda t=(th_, tw_): run_wavefront(left(), tile=t), 420)
     section("wavefront_pipelined", "res_pipelined_full_stack",
             lambda: run_wavefront_pipelined((1, 4)), 420)
-    # (1, 2): halves the AR rounds (and enc_scan) vs (1, 4) — the
-    # latency-lever tile if the bake-off shows its border-rate cost stays
-    # negligible (artifacts/bakeoff.json res_tiled_1x2)
-    section("wavefront_pipelined", "res_pipelined_full_stack_1x2",
-            lambda: run_wavefront_pipelined((1, 2)), 420)
-    section("wavefront_pipelined", "res_pipelined_full_stack_2x4",
-            lambda: run_wavefront_pipelined((2, 4)), 600)
-    section("charm", "charm_1080p", run_charm, 360)
-    # 720p batch-scaling probe (VERDICT r3 #6): 1080p b=8 OOMs this chip, so
-    # amortization beyond b=4 is demonstrated at 720p instead
+    section("trained_weights", "trained_weights", run_trained_weights, 240)
+    # Real multi-stream serving run (VERDICT r4 #3): S=4 independent GOP
+    # streams through the pipelined loop, >=8 frames each; the PCIe
+    # projection is re-derived from this run's observed schedule.
+    section("wavefront_4stream", "res_pipelined_4stream_measured",
+            lambda: run_wavefront_pipelined_multistream((1, 4), streams=4),
+            300)
+
+    # ---- Secondary sections ----
+    if on("pipeline") and left() > budget * 0.45:
+        run_pipeline_point(1) and run_pipeline_point(2)
+    # 720p batch-scaling curve (VERDICT r3 #6 / r4 #7): 1080p b=8 OOMs this
+    # chip, so amortization beyond b=4 is demonstrated at 720p
     if on("pipeline_720p") and left() > 420:
         for b in (4, 8, 16):
             if left() < 240:
@@ -1546,6 +1809,27 @@ def main():
             except Exception as e:  # pragma: no cover
                 extras[f"pipeline_720p_b{b}_error"] = repr(e)[:200]
                 break
+    section("device_only", "device_only_b4",
+            lambda: run_device_only(4), 420)
+    # deep tiles — (1,4) and (2,4) are the production serving configs
+    for spec in os.environ.get("STEM_BENCH_DEEP_TILE", "1,4;2,4").split(";"):
+        th_, tw_ = (int(v) for v in spec.split(","))
+        key = ("res_wavefront_deep_tiled_1080p" if (th_, tw_) == (2, 4)
+               else f"res_wavefront_tile{th_}x{tw_}_1080p")
+        section("wavefront_deep", key,
+                lambda t=(th_, tw_): run_wavefront(left(), tile=t), 420)
+    # (1, 2): halves the AR rounds (and enc_scan) vs (1, 4) — the
+    # latency-lever tile if the bake-off shows its border-rate cost stays
+    # negligible (artifacts/bakeoff.json res_tiled_1x2)
+    section("wavefront_pipelined", "res_pipelined_full_stack_1x2",
+            lambda: run_wavefront_pipelined((1, 2)), 420)
+    section("wavefront_pipelined", "res_pipelined_full_stack_2x4",
+            lambda: run_wavefront_pipelined((2, 4)), 600)
+    # charm is RD-dominated (+19% matched-distortion rate vs res,
+    # artifacts/bakeoff.json) — opt-in only (VERDICT r4 #8); its last
+    # validated numbers stay in BENCH_NOTES
+    if os.environ.get("STEM_BENCH_CHARM"):
+        section("charm", "charm_1080p", run_charm, 360)
     section("wavefront_tiled", "res_wavefront_tiled_1080p",
             lambda: run_wavefront(left(), tile=(17, 30)), 480)
     # untiled reference decode order last: most expensive, least load-bearing
@@ -1643,16 +1927,18 @@ def _emit(results, extras, to_stdout: bool):
     if carried:
         detail["carried_sections"] = sorted(carried)
 
-    payload = json.dumps({
+    payload_dict = {
         "metric": "stem_1080p_p_frame_encode_decode",
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / TARGET_FPS, 3),
         "detail": detail,
-    })
+    }
+    payload = json.dumps(payload_dict)
     here = os.path.dirname(os.path.abspath(__file__))
     with _EMIT_LOCK:
-        _SNAPSHOT = payload
+        # stdout gets the capped summary; files get the full detail
+        _SNAPSHOT = _compact_payload(payload_dict)
     try:
         _atomic_write(os.path.join(here, "BENCH_SELF.json"), payload)
         _atomic_write(

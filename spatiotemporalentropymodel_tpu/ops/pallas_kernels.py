@@ -16,6 +16,7 @@ kernels in interpreter mode for parity).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -59,8 +60,14 @@ def pallas_enabled() -> bool:
 # Measured NULL result (round 4, artifacts/gdn_dot_ab.json): stage1
 # 5.433 ms/frame bf16-dot vs 5.457 f32-dot, outputs identical to 5 dp —
 # the stage is input-DMA-bound (see _GDN_CONV_HALO), not norm-dot-bound.
-# Kept ON: never slower, and it frees MXU issue slots on dot-bound shapes.
-GDN_DOT_BF16 = True  # A/B knob (tools/gdn_dot_ab.py)
+# Default OFF (ADVICE r4): a null speed gain does not justify changing the
+# default bf16-serving numerics — with the knob off, bf16-path bitstreams
+# stay bit-stable across releases. Flip on for dot-bound shapes.
+# Scope note: only the fused GDN→conv / IGDN→deconv kernels route through
+# _norm_dot; the STANDALONE gdn_fused kernel intentionally keeps an f32
+# norm dot regardless (it serves training and the interpret-mode parity
+# pins, where exact f32 math is the contract).
+GDN_DOT_BF16 = bool(int(os.environ.get("STEM_GDN_DOT_BF16", "0")))
 
 
 def _gdn_dot_dtype(win_dtype):

@@ -228,3 +228,126 @@ def test_pipeline_rejects_spm_variant(setup):
     spm.update()
     with pytest.raises(ValueError):
         StemVideoPipeline(imodel, spm)
+
+# ---------------------------------------------------------------------------
+# WavefrontVideoPipeline (VERDICT r4 #4): the flagship SPM/tiled-res GOP
+# server as a first-class library API — bitstream equality vs the model API,
+# multi-stream exactness, and the async-g_s overlap schedule.
+# ---------------------------------------------------------------------------
+
+from spatiotemporalentropymodel_tpu.eval.pipeline import (  # noqa: E402
+    WavefrontVideoPipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def wf_setup():
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    imodel = MeanScaleHyperprior(8, M)
+    imodel.init(x)
+    stem = SpatioTemporalPriorModel(
+        variant="res", entropy_bottleneck_channels=EBC, in_channels=M,
+        ar_mode="wavefront", wavefront_tile=(1, 4),
+    )
+    d = jnp.zeros((1, 4, 4, M))
+    stem.init(d, d)
+    stem.update()
+    return x, imodel, stem
+
+
+def test_wavefront_pipeline_bitstream_matches_model_api(wf_setup):
+    x, imodel, stem = wf_setup
+    pipe = WavefrontVideoPipeline(imodel, stem)
+    y_cond = pipe.analysis(x)
+    y_cur = y_cond + 0.3 * jax.random.normal(jax.random.PRNGKey(4),
+                                             y_cond.shape)
+    enc = pipe.encode_frame(y_cur, y_cond)
+    ref = stem.compress(y_cur, y_cond)
+    assert enc["strings"][0] == ref["strings"][0]
+    assert enc["strings"][1] == ref["strings"][1]
+
+    y_hat = pipe.decode_frame(enc, y_cond)
+    ref_dec = stem.decompress(ref["strings"], tuple(ref["shape"]), y_cond)
+    np.testing.assert_array_equal(np.asarray(y_hat),
+                                  np.asarray(ref_dec["y_hat"]))
+
+
+def test_wavefront_pipeline_multistream_bitstreams_exact(wf_setup):
+    """S independent GOP streams batched along the batch axis must produce
+    byte-identical per-stream bitstreams and identical decodes to serving
+    each stream solo (the multi-stream serving claim, VERDICT r4 #3)."""
+    x, imodel, stem = wf_setup
+    pipe = WavefrontVideoPipeline(imodel, stem)
+    k = jax.random.split(jax.random.PRNGKey(5), 4)
+    conds = [pipe.analysis(x), pipe.analysis(x * 0.8 + 0.1)]
+    curs = [c + 0.3 * jax.random.normal(k[i], c.shape)
+            for i, c in enumerate(conds)]
+
+    solo = [pipe.encode_frame(c, yc) for c, yc in zip(curs, conds)]
+    batched = pipe.encode_frame(jnp.concatenate(curs),
+                                jnp.concatenate(conds))
+    for s in range(2):
+        assert batched["strings"][0][s] == solo[s]["strings"][0][0]
+        assert batched["strings"][1][s] == solo[s]["strings"][1][0]
+
+    y_hat_b = pipe.decode_frame(batched, jnp.concatenate(conds))
+    for s in range(2):
+        y_hat_s = pipe.decode_frame(solo[s], conds[s])
+        np.testing.assert_array_equal(np.asarray(y_hat_b[s:s + 1]),
+                                      np.asarray(y_hat_s))
+
+
+def test_wavefront_pipeline_gop_schedule_overlap(wf_setup):
+    """The pipelined schedule: g_s of frame k is dispatched BEFORE frame
+    k+1's encode/rounds begin, and serve_gop blocks on x̂ only at the end —
+    so g_s device work overlaps the next frame's host rANS."""
+    x, imodel, stem = wf_setup
+    events = []
+    pipe = WavefrontVideoPipeline(imodel, stem,
+                                  trace=lambda ev, k: events.append((ev, k)))
+    y0 = pipe.analysis(x)
+    frames = [x, x * 0.9 + 0.05, x * 1.1 - 0.05]
+    encs, x_futs, y_fin = pipe.serve_gop(frames, y0)
+
+    assert len(encs) == 3 and len(x_futs) == 3
+    expect = []
+    for k in range(3):
+        expect += [("encode", k), ("decode_rounds", k), ("gs_dispatch", k)]
+    assert events == expect  # gs_dispatch(k) precedes encode(k+1)
+
+    # x̂ futures are the g_s of each frame's decoded ŷ — replay the chain
+    y_cond = y0
+    for k in range(3):
+        y_hat = pipe.decode_frame(encs[k], y_cond)
+        np.testing.assert_array_equal(
+            np.asarray(x_futs[k]),
+            np.asarray(imodel.get_x(y_hat)),
+        )
+        y_cond = y_hat
+    np.testing.assert_array_equal(np.asarray(y_fin), np.asarray(y_cond))
+
+
+def test_wavefront_pipeline_serve_latents(wf_setup):
+    """latents=True serves pre-computed y_cur planes (bench.py's controlled
+    synthetic-rate workload goes through this exact loop)."""
+    x, imodel, stem = wf_setup
+    pipe = WavefrontVideoPipeline(imodel, stem)
+    y0 = pipe.analysis(x)
+    lat = [y0 + 0.2 * jax.random.normal(jax.random.PRNGKey(i), y0.shape)
+           for i in range(2)]
+    encs, x_futs, y_fin = pipe.serve_gop(lat, y0, latents=True)
+    assert len(encs) == 2
+    assert np.isfinite(np.asarray(y_fin)).all()
+    assert x_futs[0].shape == x.shape
+
+
+def test_wavefront_pipeline_rejects_parallel_variant(wf_setup):
+    x, imodel, _ = wf_setup
+    par = SpatioTemporalPriorModel(
+        variant="without_spm", entropy_bottleneck_channels=EBC, in_channels=M
+    )
+    d = jnp.zeros((1, 4, 4, M))
+    par.init(d, d)
+    par.update()
+    with pytest.raises(ValueError):
+        WavefrontVideoPipeline(imodel, par)
