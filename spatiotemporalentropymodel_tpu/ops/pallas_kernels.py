@@ -523,6 +523,18 @@ _GDN_CONV_TH = 0      # 0 = auto (VMEM model); probes force a stripe height
 # Element window already pipelines; the residual cost is per-grid-step
 # overhead, not serialized DMA. Default = the measured winner.
 _GDN_CONV_HALO = False  # A/B knob (tools/gdn_halo_ab.py)
+# Manual-DMA input path (round 5, the lever BENCH_NOTES:308-311 called for):
+# x stays in HBM (memory_space=ANY) and the kernel copies the stripe's
+# window in as explicit chunked make_async_copy's into a manually
+# double-buffered landing scratch.  That removes the input window from
+# Mosaic's 2x double-buffered block accounting — the term that capped
+# stage1 at TH=2 (136 grid steps/frame at 544x960, ~20 us/step overhead)
+# — so TH=4 fits stage1's VMEM budget and TH=8 fits stage2's, halving /
+# quartering the per-grid-step overhead.  "auto" (default) uses the DMA
+# path exactly when its VMEM model admits a strictly larger TH than the
+# Element-window model (i.e. where grid steps actually shrink); "1"/"0"
+# force it on/off for A/Bs (tools/gdn_dma_ab.py).
+_GDN_CONV_DMA = os.environ.get("STEM_GDN_CONV_DMA", "auto")
 # timing-isolation knob for tools/gdn_conv_tune.py --debug: "nofill" skips
 # the window fill, "onedot" runs a single tap block, "nogdn" copies raw
 # rows. Wrong results by construction — never set in production.
@@ -566,7 +578,7 @@ def _pair_conv_kernel(x_ref, g2_ref, beta2_ref, w_ref, bias_ref,
     debug = _GDN_CONV_DEBUG
 
     def pre(v):
-        if not has_gdn or debug == "nogdn":
+        if not has_gdn or "nogdn" in debug:
             return v.astype(win_ref.dtype)
         n = _norm_dot(v, g2_ref, beta2_ref)
         return (v.astype(jnp.float32)
@@ -576,7 +588,7 @@ def _pair_conv_kernel(x_ref, g2_ref, beta2_ref, w_ref, bias_ref,
     zero = jnp.zeros((1, c4), win_ref.dtype)
     win_ref[0:1] = zero
     win_ref[1 + (th + 2) * ws:] = zero
-    if debug != "nofill":
+    if "nofill" not in debug:
         # x_ref row r·ws.. holds image row 2·(t0−1) + r: window pair
         # p = r//2 at lane block (r%2)·2C. Element-padding regions hold
         # UNDEFINED bytes — zero the frame-edge halo rows before the GDN
@@ -594,28 +606,46 @@ def _pair_conv_kernel(x_ref, g2_ref, beta2_ref, w_ref, bias_ref,
     _pair_conv_dots(win_ref, w_ref, bias_ref, out_ref, th, ws, c2, o, debug)
 
 
-def _pair_conv_dots(win_ref, w_ref, bias_ref, out_ref, th, ws, c2, o, debug):
+def _pair_conv_dots(win_ref, w_ref, bias_ref, out_ref, th, ws, c2, o, debug,
+                    ns: int = 1):
     """The nine whole-stripe masked tap dots over the filled window —
-    shared by the Element-window and the halo-operand kernel variants."""
-    jc = jax.lax.broadcasted_iota(jnp.int32, (th * ws, 1), 0) % ws
+    shared by every input-path variant. ``ns`` splits the output rows into
+    sub-stripes computed sequentially: the slab / dot-result / accumulator
+    temporaries scale with TH/ns instead of TH, which is what lets the
+    manual-DMA path run TH=4+ inside the 16 MB scoped-VMEM limit (each
+    sub-stripe still feeds TH/ns·Ws ≥ 960-row operands to the MXU)."""
+    nr = th // ns
+    jc = jax.lax.broadcasted_iota(jnp.int32, (nr * ws, 1), 0) % ws
     m_lo = (jc != 0).astype(jnp.float32)
     m_hi = (jc != ws - 1).astype(jnp.float32)
-    acc = jnp.zeros((th * ws, o), jnp.float32) + bias_ref[:]
-    koff = 0
-    blocks = _PAIR_BLOCKS[4:5] if debug == "onedot" else _PAIR_BLOCKS
-    for du, m, kf in blocks:
-        kw = kf * c2
-        base = 1 + (du + 1) * ws + m
-        slab = win_ref[base:base + th * ws, 0:kw]
-        d = jnp.dot(slab, w_ref[koff:koff + kw],
-                    preferred_element_type=jnp.float32)
-        koff += kw
-        if m == -1:
-            d = d * m_lo
-        elif m == 1:
-            d = d * m_hi
-        acc = acc + d
-    out_ref[:] = acc.astype(out_ref.dtype)
+    blocks = _PAIR_BLOCKS[4:5] if "onedot" in debug else _PAIR_BLOCKS
+    if "nodots" in debug:  # timing isolation: out = bias only
+        for p in range(ns):
+            out_ref[p * nr * ws:(p + 1) * nr * ws] = (
+                jnp.zeros((nr * ws, o), jnp.float32) + bias_ref[:]
+            ).astype(out_ref.dtype)
+        return
+    for p in range(ns):
+        acc = jnp.zeros((nr * ws, o), jnp.float32) + bias_ref[:]
+        koff = 0
+        for du, m, kf in blocks:
+            kw = kf * c2
+            base = 1 + (du + 1) * ws + m + p * nr * ws
+            if debug == "aligndots":
+                # timing isolation: all nine slab bases forced onto the
+                # sublane tiling (wrong results) — measures what the six
+                # misaligned slab reads (base ≡ 0,1,2 mod 16) cost
+                base = (du + 1) * ws + p * nr * ws
+            slab = win_ref[base:base + nr * ws, 0:kw]
+            d = jnp.dot(slab, w_ref[koff:koff + kw],
+                        preferred_element_type=jnp.float32)
+            koff += kw
+            if m == -1:
+                d = d * m_lo
+            elif m == 1:
+                d = d * m_hi
+            acc = acc + d
+        out_ref[p * nr * ws:(p + 1) * nr * ws] = acc.astype(out_ref.dtype)
 
 
 def _pair_conv_halo_kernel(xm_ref, xa_ref, xb_ref, g2_ref, beta2_ref, w_ref,
@@ -634,7 +664,7 @@ def _pair_conv_halo_kernel(xm_ref, xa_ref, xb_ref, g2_ref, beta2_ref, w_ref,
     debug = _GDN_CONV_DEBUG
 
     def pre(v):
-        if not has_gdn or debug == "nogdn":
+        if not has_gdn or "nogdn" in debug:
             return v.astype(win_ref.dtype)
         n = _norm_dot(v, g2_ref, beta2_ref)
         return (v.astype(jnp.float32)
@@ -644,7 +674,7 @@ def _pair_conv_halo_kernel(xm_ref, xa_ref, xb_ref, g2_ref, beta2_ref, w_ref,
     zero = jnp.zeros((1, c4), win_ref.dtype)
     win_ref[0:1] = zero
     win_ref[1 + (th + 2) * ws:] = zero
-    if debug != "nofill":
+    if "nofill" not in debug:
         for r in range(2 * th + 4):
             if r < 2:
                 v = xa_ref[r * ws:(r + 1) * ws]
@@ -656,6 +686,200 @@ def _pair_conv_halo_kernel(xm_ref, xa_ref, xb_ref, g2_ref, beta2_ref, w_ref,
                     (r % 2) * c2:(r % 2 + 1) * c2] = pre(v)
 
     _pair_conv_dots(win_ref, w_ref, bias_ref, out_ref, th, ws, c2, o, debug)
+
+
+def _pair_conv_dma_kernel(x_hbm, g2_ref, beta2_ref, w_ref, bias_ref,
+                          out_ref, land0, land1, win_ref, sems, *, th, ws,
+                          c2, o, has_gdn, stripes, n_steps):
+    """ROLLING-window variant of _pair_conv_kernel (round 5): x lives in
+    HBM (ANY) and each stripe fetches only its 2·TH NEW image rows — the
+    2-pair halo overlap with the previous stripe is reused by shifting the
+    already-GDN'd tail of the persistent window scratch down (VMEM copy,
+    disjoint for TH>=2). That halves the input traffic the Element window
+    pays (its overlapping windows re-read (2TH+4)/2TH of the frame: the
+    ~2.65 ms/frame residual in artifacts/gdn_fill_probe.json), and the
+    fetch for stripe i+1 is issued BEFORE stripe i's tap dots, so the DMA
+    runs under the MXU work instead of serializing ahead of it. Boot
+    stripes (si == 0) take the prefetched head (2·TH rows) plus a
+    synchronous 4-row tail fetch through the other landing slot. The
+    frame-edge halo rows are the caller's real zero padding, so no
+    stripe-index masking is needed (GDN(0) = 0 feeds nothing into the
+    taps)."""
+
+    debug = _GDN_CONV_DEBUG
+
+    def pre(v):
+        if not has_gdn or "nogdn" in debug:
+            return v.astype(win_ref.dtype)
+        n = _norm_dot(v, g2_ref, beta2_ref)
+        return (v.astype(jnp.float32)
+                * jax.lax.rsqrt(n)).astype(win_ref.dtype)
+
+    i = pl.program_id(0)
+    si = i % stripes
+    rows = 2 * th * ws          # full steady fetch (array rows)
+    rows_edge = rows - 2 * ws   # boot head / last stripe (one pair less)
+    boot = si == 0
+    last = si == stripes - 1
+
+    def fetch(idx, land, sem, do_start: bool):
+        """Start or wait step idx's head fetch. x is UNPADDED (the
+        Element path's explicit jnp.pad materializes a whole-frame HBM
+        copy ahead of the kernel — the ~2.6 ms/frame every input-path
+        variant shared); the frame-edge halo pairs are zeroed in-window
+        instead. Boot: pairs 0..TH−2; last: pairs si·TH+1..hs−1; else
+        pairs si·TH+1..si·TH+TH. The ×ws stays OUTSIDE the arithmetic
+        select so Mosaic can prove tiling divisibility."""
+        bi_, si_ = idx // stripes, idx % stripes
+        is_boot = si_ == 0
+        is_last = si_ == stripes - 1
+        start_mid = (2 * si_ * th + 2) * ws
+
+        @pl.when(is_boot)
+        def _():
+            c = pltpu.make_async_copy(
+                x_hbm.at[bi_, pl.ds(0, rows_edge), :],
+                land.at[pl.ds(0, rows_edge)], sem)
+            c.start() if do_start else c.wait()
+
+        @pl.when(jnp.logical_and(jnp.logical_not(is_boot),
+                                 jnp.logical_not(is_last)))
+        def _():
+            c = pltpu.make_async_copy(
+                x_hbm.at[bi_, pl.ds(start_mid, rows), :], land, sem)
+            c.start() if do_start else c.wait()
+
+        @pl.when(jnp.logical_and(jnp.logical_not(is_boot), is_last))
+        def _():
+            c = pltpu.make_async_copy(
+                x_hbm.at[bi_, pl.ds(start_mid, rows_edge), :],
+                land.at[pl.ds(0, rows_edge)], sem)
+            c.start() if do_start else c.wait()
+
+    def fill(land, j, slot_pair):
+        """GDN-process landed image-row j into window pair slot_pair."""
+        v = land[j * ws:(j + 1) * ws, :]
+        win_ref[1 + slot_pair * ws:1 + (slot_pair + 1) * ws,
+                (j % 2) * c2:(j % 2 + 1) * c2] = pre(v)
+
+    def zero_pair(slot_pair):
+        win_ref[1 + slot_pair * ws:1 + (slot_pair + 1) * ws] = jnp.zeros(
+            (ws, 2 * c2), win_ref.dtype)
+
+    c4 = 2 * c2
+    zero = jnp.zeros((1, c4), win_ref.dtype)
+    win_ref[0:1] = zero
+    win_ref[1 + (th + 2) * ws:] = zero
+
+    # the very first grid step has no predecessor to prefetch for it
+    @pl.when(i == 0)
+    def _boot_fetch():
+        fetch(0, land0, sems.at[0], do_start=True)
+
+    def consume(land, sem_i, other, sem_o):
+        """Wait on this step's prefetched rows and fill the window."""
+        fetch(i, land, sems.at[sem_i], do_start=False)
+
+        @pl.when(boot)
+        def _head_and_tail():
+            zero_pair(0)                      # pair −1 = top frame edge
+            if "nofill" not in debug:
+                for j in range(2 * th - 2):   # pairs 0..TH−2
+                    fill(land, j, 1 + j // 2)
+            # tail pairs TH−1, TH (4 image rows) via the OTHER slot —
+            # waited before that slot is reused for the i+1 prefetch
+            bi_ = i // stripes
+            tail = pltpu.make_async_copy(
+                x_hbm.at[bi_, pl.ds(rows_edge, 4 * ws), :],
+                other.at[pl.ds(0, 4 * ws)], sems.at[sem_o])
+            tail.start()
+            tail.wait()
+            if "nofill" not in debug:
+                for j in range(4):
+                    fill(other, j, th + j // 2)
+
+        @pl.when(jnp.logical_not(boot))
+        def _shift_and_fill():
+            # halo pairs slide down: slots TH, TH+1 → 0, 1 (disjoint
+            # VMEM copy for TH>=2; already GDN-processed last step)
+            win_ref[1:1 + 2 * ws] = win_ref[1 + th * ws:1 + (th + 2) * ws]
+
+            @pl.when(jnp.logical_not(last))
+            def _():
+                if "nofill" not in debug:
+                    for j in range(2 * th):   # pairs si·TH+1..si·TH+TH
+                        fill(land, j, 2 + j // 2)
+
+            @pl.when(last)
+            def _():
+                if "nofill" not in debug:
+                    for j in range(2 * th - 2):  # pairs si·TH+1..hs−1
+                        fill(land, j, 2 + j // 2)
+                zero_pair(th + 1)             # pair hs = bottom edge
+
+    @pl.when(i % 2 == 0)
+    def _even():
+        consume(land0, 0, land1, 1)
+
+    @pl.when(i % 2 == 1)
+    def _odd():
+        consume(land1, 1, land0, 0)
+
+    # prefetch stripe i+1's rows into the other slot, then overlap the
+    # DMA with this stripe's nine tap dots
+    @pl.when(jnp.logical_and(i + 1 < n_steps, (i + 1) % 2 == 0))
+    def _pf_even():
+        fetch(i + 1, land0, sems.at[0], do_start=True)
+
+    @pl.when(jnp.logical_and(i + 1 < n_steps, (i + 1) % 2 == 1))
+    def _pf_odd():
+        fetch(i + 1, land1, sems.at[1], do_start=True)
+
+    _pair_conv_dots(win_ref, w_ref, bias_ref, out_ref, th, ws, c2, o, debug,
+                    ns=_dma_dot_splits(th))
+
+
+def _gdn_conv_dma_th(x, o: int):
+    """Largest stripe height (>=2: the rolling shift needs disjoint
+    src/dst) fitting VMEM for the rolling-window kernel. Terms mirror
+    Mosaic's scoped accounting, calibrated on the stage-1 shape: th=4
+    with un-split dots modeled ~17.5M and compiled to a measured 20.88M
+    refusal; the ns=2 sub-stripe dots + 2·TH-row landing slots fit."""
+    b, h, w, c = x.shape
+    hs, ws, c2 = h // 2, w // 2, 2 * c
+    isz = jnp.dtype(x.dtype).itemsize
+    for th in (16, 8, 4, 2):
+        if hs % th or hs // th < 2:
+            continue
+        nr = th // _dma_dot_splits(th)
+        vmem = (((th + 2) * ws + 2) * 2 * c2 * 2   # s2d window (bf16)
+                + 2 * (2 * th * ws) * c2 * isz     # landing slots x2
+                + 2 * ws * c2 * 4                  # pre-GDN f32 temps
+                + 15 * c2 * o * 2                  # packed weights
+                + c2 * c2 * 4                      # γ² block (f32)
+                + nr * ws * 2 * c2 * 2             # tap slab (bf16)
+                + 2 * nr * ws * o * 4              # dot result + acc (f32)
+                + 2 * th * ws * o * 2)             # out blocks (pipelined)
+        if vmem <= 15_900_000:
+            return th
+    return None
+
+
+def _dma_dot_splits(th: int) -> int:
+    """Sub-stripe count for the tap dots in the DMA kernel: TH>=4 halves
+    the dot temporaries (see _gdn_conv_dma_th's calibration note)."""
+    return 2 if th >= 4 and th % 2 == 0 else 1
+
+
+def _gdn_conv_use_dma(x, o: int):
+    """Resolve the _GDN_CONV_DMA knob → TH for the rolling-DMA path, or
+    None. "auto" uses it whenever it fits VMEM: it moves half the input
+    bytes of the Element window and overlaps the fetch with the tap dots
+    (A/B: artifacts/gdn_dma_ab.json)."""
+    mode = _GDN_CONV_DMA
+    if mode == "0":
+        return None
+    return _gdn_conv_dma_th(x, o)
 
 
 def _gdn_conv_th(x):
@@ -695,7 +919,8 @@ def gdn_conv_applicable(x, in_ch: int, kernel_size: int, stride: int) -> bool:
         return False
     if h % 2 or w % 2 or (w // 2) % 8:
         return False
-    return _gdn_conv_th(x) is not None
+    return (_gdn_conv_th(x) is not None
+            or _gdn_conv_use_dma(x, in_ch) is not None)
 
 
 def _pack_pair_kernel(kernel):
@@ -733,7 +958,19 @@ def gdn_conv_fused(x, gamma_t, beta, kernel, bias, interpret: bool = False):
         return (out + bias.astype(out.dtype)) if bias is not None else out
 
     hs, ws, c2 = h // 2, w // 2, 2 * c
-    th = _GDN_CONV_TH or _gdn_conv_th(x) or (1 if interpret else None)
+    if _GDN_CONV_DMA == "1":
+        dma_th = (_GDN_CONV_TH or _gdn_conv_dma_th(x, o)
+                  or (2 if interpret else None))
+    elif _GDN_CONV_DMA == "auto" and not interpret:
+        dma_th = _gdn_conv_use_dma(x, o)
+    else:
+        dma_th = None
+    if dma_th is not None and (dma_th < 2 or hs % dma_th
+                               or hs // dma_th < 2):
+        dma_th = None  # rolling needs TH>=2, whole stripes, and a
+        #               distinct boot + last stripe per frame
+    th = dma_th or _GDN_CONV_TH or _gdn_conv_th(x) or (
+        1 if interpret else None)
     stripes = hs // th
     win_dtype = x.dtype if interpret else jnp.bfloat16
 
@@ -748,6 +985,36 @@ def gdn_conv_fused(x, gamma_t, beta, kernel, bias, interpret: bool = False):
     wp = _pack_pair_kernel(kernel).astype(win_dtype)
     bias_row = (jnp.zeros((o,), jnp.float32) if bias is None
                 else bias.astype(jnp.float32))[None, :]
+
+    if dma_th:
+        # NO pad: the reshape is layout-free, so the kernel reads the
+        # producer's own HBM buffer (the Element path's jnp.pad copies the
+        # whole frame first); frame-edge halo pairs are zeroed in-window
+        x3 = x.reshape(b, h * ws, c2)
+        out = pl.pallas_call(
+            functools.partial(_pair_conv_dma_kernel, th=th, ws=ws, c2=c2,
+                              o=o, has_gdn=has_gdn, stripes=stripes,
+                              n_steps=b * stripes),
+            out_shape=jax.ShapeDtypeStruct((b * hs * ws, o), x.dtype),
+            grid=(b * stripes,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((th * ws, o), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2 * th * ws, c2), x.dtype),   # landing slot 0
+                pltpu.VMEM((2 * th * ws, c2), x.dtype),   # landing slot 1
+                pltpu.VMEM(((th + 2) * ws + 2, 2 * c2), win_dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(x3, g2, beta2, wp, bias_row)
+        return out.reshape(b, hs, ws, o)
 
     if _GDN_CONV_HALO:
         # zero-pad 2·TH image rows at each frame edge so the main block

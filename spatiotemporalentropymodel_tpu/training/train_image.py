@@ -45,7 +45,10 @@ def train_image(config: TrainImageConfig, max_steps: Optional[int] = None,
     if model is None:
         model = create_model(config.model, config.quality)
     example = jnp.zeros((1, config.cropsize, config.cropsize, 3))
-    model.init(example)
+    if model.params is None:
+        model.init(example)
+    # else: warm start — a pre-built model with loaded params fine-tunes
+    # from them (tools/bakeoff.py hero --i-init, the low-rate RD recipe)
     params = model.params
     module = model.module
 

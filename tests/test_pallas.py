@@ -247,6 +247,28 @@ class TestFusedGDNConv:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-4)
 
+    @pytest.mark.parametrize("shape,o,th", [((1, 8, 16, 64), 48, 2),
+                                            ((2, 12, 20, 32), 40, 2),
+                                            ((1, 16, 16, 64), 48, 4),
+                                            ((2, 32, 16, 32), 24, 8)])
+    def test_dma_variant_matches_composition(self, shape, o, th,
+                                             monkeypatch):
+        """The rolling-window DMA input path (`_GDN_CONV_DMA="1"`, round
+        5): x fed from HBM by per-stripe async copies of only the NEW
+        rows, halo pairs reused via the persistent-window shift, next
+        stripe prefetched under the dots. Must stay exact at every stripe
+        height and across frame boundaries (the boot/steady/shift logic —
+        see artifacts/gdn_dma_ab.json)."""
+        monkeypatch.setattr(pk, "_GDN_CONV_DMA", "1")
+        monkeypatch.setattr(pk, "_GDN_CONV_TH", th)
+        c = shape[-1]
+        x = jax.random.normal(jax.random.PRNGKey(11), shape) * 0.5
+        gamma_t, beta, kernel, bias = self._weights(c, o)
+        ref = pk._gdn_conv_ref(x, gamma_t, beta, kernel, bias)
+        got = pk.gdn_conv_fused(x, gamma_t, beta, kernel, bias, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+
     def test_conv_only_mode(self):
         c, o = 32, 24
         x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 12, c)) * 0.5

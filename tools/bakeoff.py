@@ -132,7 +132,7 @@ def _p_ckpt(workdir, name):
     return _maybe_gz(os.path.join(workdir, f"ckpt_p_{name}.pkl"))
 
 
-def _train_i(lmbda, data_img, workdir, steps):
+def _train_i(lmbda, data_img, workdir, steps, init_path=None):
     import jax.numpy as jnp
 
     from spatiotemporalentropymodel_tpu.models import MeanScaleHyperprior
@@ -149,6 +149,14 @@ def _train_i(lmbda, data_img, workdir, steps):
         i_model.init(jnp.zeros((1, 64, 64, 3)))
         i_model.load_state_dict(load_checkpoint(path)["model"])
         return i_model
+    if init_path:
+        # Warm start (VERDICT r4 #6): fine-tune a converged higher-λ
+        # I-model down-rate instead of training from scratch — the λ=0.012
+        # from-scratch run converged to a 31.1 dB anchor at the 20k-step
+        # schedule and the whole GOP point landed dominated.
+        i_model.init(jnp.zeros((1, 64, 64, 3)))
+        i_model.load_state_dict(load_checkpoint(init_path)["model"])
+        print(f"I-model λ={lmbda}: warm start from {init_path}", flush=True)
     cfg = TrainImageConfig(
         model="mbt2018-mean", lmbda=lmbda, cropsize=CROP, batch_size=8,
         data_root=data_img, workdir=os.path.join(workdir, f"i_{lmbda}"),
@@ -430,6 +438,56 @@ def cmd_eval(args):
     print("wrote", path, flush=True)
 
 
+def _make_gop_set(data_root, hw, n_seqs=2, n_frames=24, seed=98):
+    """A GOP eval dir at an arbitrary resolution (the 256² set comes from
+    make_data; hero runs also want >=512² — VERDICT r4 #6)."""
+    from PIL import Image
+
+    root = os.path.join(data_root, f"gop{hw}")
+    if os.path.exists(root):
+        return root
+    rng = np.random.default_rng(seed)
+    for i in range(n_seqs):
+        d = os.path.join(root, f"seq{i}")
+        os.makedirs(d, exist_ok=True)
+        for t, f in enumerate(
+                _structured_frames(rng, n_frames=n_frames, hw=(hw, hw)), 1):
+            Image.fromarray(f).save(os.path.join(d, f"f{t:05d}.png"))
+    return root
+
+
+def _serving_1080p(i_model, stem, n_frames=4):
+    """P-frame serving rate/quality through the REAL 1080p pipeline (the
+    probe bench.py::run_trained_weights uses, factored here so every hero
+    RD point records its serving bpp — VERDICT r4 #6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spatiotemporalentropymodel_tpu.eval.metrics import psnr as _psnr
+    from spatiotemporalentropymodel_tpu.eval.pipeline import StemVideoPipeline
+
+    H, W = 1088, 1920
+    pipe = StemVideoPipeline(i_model, stem, transport_mode="sparse")
+    rng = np.random.default_rng(1)
+    frames = [jnp.asarray(f, jnp.float32)[None] / 255.0
+              for f in _structured_frames(rng, n_frames=n_frames,
+                                          hw=(H, W))]
+    enc0 = i_model.compress(frames[0])
+    dec0 = i_model.decompress(enc0["strings"], tuple(enc0["shape"]))
+    yc = dec0["y_hat"]
+    total_bytes, psnrs = 0, []
+    for t in range(1, n_frames):
+        enc, _ = pipe.encode_frame(frames[t], yc)
+        x_hat, yc = pipe.decode_frame(enc, y_cond=yc)
+        total_bytes += sum(
+            len(s) for grp in enc["strings"] for s in grp
+        ) + np.asarray(enc.get("counts", np.empty(0))).nbytes
+        psnrs.append(float(_psnr(frames[t], x_hat)))
+    jax.block_until_ready(yc)
+    return {"bpp": round(total_bytes * 8.0 / ((n_frames - 1) * H * W), 4),
+            "psnr": round(float(np.mean(psnrs)), 2)}
+
+
 def cmd_hero(args):
     """Production-capacity single-config run (VERDICT r3 #5): train an
     M=192 res pipeline long enough to serve at <=0.25 bpp / >=30 dB on the
@@ -454,7 +512,8 @@ def cmd_hero(args):
 
     from spatiotemporalentropymodel_tpu.models import SpatioTemporalPriorModel
 
-    i_model = _train_i(lmbda, data_img, workdir, i_steps)
+    i_model = _train_i(lmbda, data_img, workdir, i_steps,
+                       init_path=args.i_init)
     print(f"hero I-model λ={lmbda} ready", flush=True)
     # Standalone I-model eval — the P-frame PSNR CEILING (P training is
     # rate-only; reconstruction quality rides the frozen I transforms, so a
@@ -486,6 +545,8 @@ def cmd_hero(args):
              data_vimeo, workdir, p_steps)
 
     evals = {}
+    evals_hi = {}
+    serving = None
     for variant in ("res", "without_spm"):
         stem = _load_p(workdir, f"{variant}_{lmbda}",
                        lambda: SpatioTemporalPriorModel(
@@ -493,6 +554,24 @@ def cmd_hero(args):
                            in_channels=M))
         evals[variant] = _eval_cfg(i_model, stem, data_gop)
         print(f"hero eval {variant}:", evals[variant], flush=True)
+        if args.eval_hw_extra:
+            # VERDICT r4 #6: evaluate at >=512² GOP-12 alongside 256² —
+            # the eval→serving rate gap is resolution-dependent
+            gop_hi = _make_gop_set(os.path.join(workdir, "data"),
+                                   args.eval_hw_extra)
+            evals_hi[variant] = _eval_cfg(i_model, stem, gop_hi)
+            print(f"hero eval {variant} @{args.eval_hw_extra}:",
+                  evals_hi[variant], flush=True)
+        if variant == "without_spm":
+            # per-point 1080p SERVING rate (VERDICT r4 #6): the same probe
+            # bench.py's trained_weights section runs, so every RD point
+            # carries its real-pipeline rate, not only the headline λ.
+            # TPU-only: the 1080p transforms take tens of minutes on the
+            # one-core CPU smoke path.
+            import jax as _jax
+            if _jax.default_backend() == "tpu":
+                serving = _serving_1080p(i_model, stem)
+                print(f"hero serving 1080p λ={lmbda}:", serving, flush=True)
 
     import gzip
     import shutil
@@ -505,6 +584,10 @@ def cmd_hero(args):
                        "p_steps": p_steps, "train_seqs": args.train_seqs},
             "i_model_standalone": i_eval,
             "eval": evals}
+    if evals_hi:
+        meta[f"eval_{args.eval_hw_extra}"] = evals_hi
+    if serving:
+        meta["serving_1080p"] = serving
     # Merge with any existing curated hero.json instead of clobbering it
     # (the λ=0.012 run once erased the RD-curve block and replaced a
     # 0.245 bpp/34.5 dB headline with a dominated 0.387/31.6 point).
@@ -519,6 +602,13 @@ def cmd_hero(args):
     new_pt = {"lmbda": lmbda,
               "bpp": round(evals["res"]["bpp"], 4),
               "psnr": round(evals["res"]["psnr"], 2)}
+    if evals_hi:
+        new_pt[f"bpp_{args.eval_hw_extra}"] = round(
+            evals_hi["res"]["bpp"], 4)
+        new_pt[f"psnr_{args.eval_hw_extra}"] = round(
+            evals_hi["res"]["psnr"], 2)
+    if serving:
+        new_pt["serving_1080p"] = serving
     rd = (prev or {}).get("rd_points") or {"res": []}
     rd["res"] = [p for p in rd.get("res", []) if p["lmbda"] != lmbda]
     dominated = False
@@ -542,11 +632,22 @@ def cmd_hero(args):
                     f"ckpt_p_without_spm_{lmbda}.pkl"):
             sp = _maybe_gz(os.path.join(workdir, src))
             dst = os.path.join(trained, src + ".gz")
+            if sp == dst:  # workdir IS the trained dir (re-eval runs)
+                continue
             if sp.endswith(".gz"):  # fresh runs save via _maybe_gz names
                 shutil.copyfile(sp, dst)
             else:
                 with open(sp, "rb") as fi, gzip.open(dst, "wb") as fo:
                     shutil.copyfileobj(fi, fo)
+        # keep only the headline λ's triple in git (VERDICT r4 #8: the
+        # trained artifacts stay under the 150 MB cap; superseded points
+        # keep their numbers in rd_points, not their weights)
+        import glob as _glob
+        for p in _glob.glob(os.path.join(trained, "ckpt_*.pkl.gz")):
+            tag = os.path.basename(p).rsplit("_", 1)[-1][:-len(".pkl.gz")]
+            if tag != str(lmbda):
+                os.remove(p)
+                print(f"pruned superseded checkpoint {p}", flush=True)
     with open(prev_path, "w") as f:
         json.dump(out, f, indent=2)
     path = os.path.join(args.out_dir, "hero.json")
@@ -573,6 +674,11 @@ def main():
         p.add_argument("--bd-lambdas", type=float, nargs="+", default=None,
                        help="override the charm-vs-res BD-rate grid")
         p.add_argument("--hero-lmbda", type=float, default=HERO["lmbda"])
+        p.add_argument("--i-init", default=None,
+                       help="warm-start the I-model from this checkpoint "
+                            "(.pkl/.pkl.gz) — the low-rate RD recipe")
+        p.add_argument("--eval-hw-extra", type=int, default=0,
+                       help="also GOP-eval at this resolution (e.g. 512)")
         p.add_argument("--train-seqs", type=int, default=32,
                        help="synthetic training sequences (hero runs want "
                             "hundreds: 32 seqs overfit at N=128 capacity)")
