@@ -620,12 +620,14 @@ def cmd_hero(args):
         new_pt["dominated"] = True
     rd["res"].append(new_pt)
     rd["res"].sort(key=lambda p: p["lmbda"])
-    keep_headline = dominated and prev is not None
+    keep_headline = (dominated or args.no_archive) and prev is not None
     out = dict(prev) if keep_headline else meta
     out["rd_points"] = rd
     if keep_headline:
-        print(f"λ={lmbda} point {new_pt} is dominated by the current "
-              f"headline {prev['eval']['res']}; keeping old headline and "
+        why = ("--no-archive run (RD-curve extension)" if args.no_archive
+               else f"dominated by the current headline "
+                    f"{prev['eval']['res']}")
+        print(f"λ={lmbda} point {new_pt}: {why}; keeping old headline and "
               "checkpoints, recording the point only", flush=True)
     else:
         for src in (f"ckpt_i_{lmbda}.pkl", f"ckpt_p_res_{lmbda}.pkl",
@@ -679,6 +681,13 @@ def main():
                             "(.pkl/.pkl.gz) — the low-rate RD recipe")
         p.add_argument("--eval-hw-extra", type=int, default=0,
                        help="also GOP-eval at this resolution (e.g. 512)")
+        p.add_argument("--no-archive", action="store_true",
+                       help="record the RD point (+512² eval, serving bpp) "
+                            "in hero.json but never touch the committed "
+                            "trained/ checkpoints — the low-rate curve-"
+                            "extension mode (the serving headline pair "
+                            "stays the λ=0.015 triple; trained/ holds ONE "
+                            "triple under the 150 MB cap)")
         p.add_argument("--train-seqs", type=int, default=32,
                        help="synthetic training sequences (hero runs want "
                             "hundreds: 32 seqs overfit at N=128 capacity)")
