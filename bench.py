@@ -1739,18 +1739,32 @@ def main():
         except Exception:
             pass
 
+    # Sticky-OOM containment: a RESOURCE_EXHAUSTED can wedge the remote
+    # runtime so every later compile/alloc fails the same way (observed in
+    # the round-5 validation run: the 720p b=16 OOM poisoned all seven
+    # remaining sections). After two consecutive OOM sections, stop running
+    # device sections — carry-forward keeps their previous values instead
+    # of overwriting the record with identical errors.
+    _oom_streak = [0]
+
     def section(name, key, fn, min_left):
         """Run one bench section with budget gating; record errors instead
         of dying; refresh the snapshot after every completion."""
         if not on(name) or left() < min_left:
             return
+        if _oom_streak[0] >= 2:
+            extras.setdefault("oom_skipped_sections", []).append(key)
+            return
         try:
             r = fn()
             if r:
                 extras[key] = r
+                _oom_streak[0] = 0
                 _emit(results, extras, to_stdout=False)
         except Exception as e:  # pragma: no cover - bench resilience
             extras[key + "_error"] = repr(e)[:200]
+            if "RESOURCE_EXHAUSTED" in repr(e):
+                _oom_streak[0] += 1
 
     if on("host_coder"):
         try:  # BEFORE any device traffic: tunnel client shares the one core
@@ -1793,22 +1807,6 @@ def main():
     # ---- Secondary sections ----
     if on("pipeline") and left() > budget * 0.45:
         run_pipeline_point(1) and run_pipeline_point(2)
-    # 720p batch-scaling curve (VERDICT r3 #6 / r4 #7): 1080p b=8 OOMs this
-    # chip, so amortization beyond b=4 is demonstrated at 720p
-    if on("pipeline_720p") and left() > 420:
-        for b in (4, 8, 16):
-            if left() < 240:
-                break
-            try:
-                r = run_pipeline(b, h=768, w=1280)
-                extras.setdefault("per_batch_720p", {})[str(b)] = {
-                    "fps": round(r["fps"], 3), "bpp": round(r["bpp"], 4),
-                    "stage_ms": r["stage_ms"],
-                }
-                _emit(results, extras, to_stdout=False)
-            except Exception as e:  # pragma: no cover
-                extras[f"pipeline_720p_b{b}_error"] = repr(e)[:200]
-                break
     section("device_only", "device_only_b4",
             lambda: run_device_only(4), 420)
     # deep tiles — (1,4) and (2,4) are the production serving configs
@@ -1838,6 +1836,25 @@ def main():
     # (batch 8 was probed and RESOURCE_EXHAUSTs this chip at 1080p —
     # the encode expression's argsort/scatter buffers on top of the
     # transform activations; batch 4 is the sweet spot.)
+    # 720p batch-scaling curve (VERDICT r3 #6 / r4 #7): 1080p b=8 OOMs this
+    # chip, so amortization beyond b=4 is demonstrated at 720p. LAST on
+    # purpose: the b≥12 points brush the HBM ceiling and an OOM can wedge
+    # the remote runtime for every subsequent compile (round-5 validation
+    # run), so nothing load-bearing may follow this sweep.
+    if on("pipeline_720p") and left() > 420:
+        for b in (4, 8, 12, 16):
+            if left() < 240 or _oom_streak[0] >= 2:
+                break
+            try:
+                r = run_pipeline(b, h=768, w=1280)
+                extras.setdefault("per_batch_720p", {})[str(b)] = {
+                    "fps": round(r["fps"], 3), "bpp": round(r["bpp"], 4),
+                    "stage_ms": r["stage_ms"],
+                }
+                _emit(results, extras, to_stdout=False)
+            except Exception as e:  # pragma: no cover
+                extras[f"pipeline_720p_b{b}_error"] = repr(e)[:200]
+                break
 
     _emit(results, extras, to_stdout=True)
 
