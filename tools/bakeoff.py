@@ -541,13 +541,15 @@ def cmd_hero(args):
     # serving pipeline's model (StemVideoPipeline drives non-SPM variants)
     _train_p(f"res_{lmbda}", "res", lmbda, i_model, data_vimeo, workdir,
              p_steps)
-    _train_p(f"without_spm_{lmbda}", "without_spm", lmbda, i_model,
-             data_vimeo, workdir, p_steps)
+    variants = ("res",) if args.res_only else ("res", "without_spm")
+    if not args.res_only:
+        _train_p(f"without_spm_{lmbda}", "without_spm", lmbda, i_model,
+                 data_vimeo, workdir, p_steps)
 
     evals = {}
     evals_hi = {}
     serving = None
-    for variant in ("res", "without_spm"):
+    for variant in variants:
         stem = _load_p(workdir, f"{variant}_{lmbda}",
                        lambda: SpatioTemporalPriorModel(
                            variant=variant, entropy_bottleneck_channels=EBC,
@@ -688,6 +690,12 @@ def main():
                             "extension mode (the serving headline pair "
                             "stays the λ=0.015 triple; trained/ holds ONE "
                             "triple under the 150 MB cap)")
+        p.add_argument("--res-only", action="store_true",
+                       help="curve-extension fast path: train/eval only the "
+                            "flagship `res` P-model (skips the without_spm "
+                            "twin and the 1080p serving probe, which rides "
+                            "the non-SPM pipeline) — for low-rate RD points "
+                            "that must fit a round's remaining budget")
         p.add_argument("--train-seqs", type=int, default=32,
                        help="synthetic training sequences (hero runs want "
                             "hundreds: 32 seqs overfit at N=128 capacity)")
